@@ -1,0 +1,53 @@
+"""Extraction knobs.
+
+Every threshold in the reference is an optional parameter with a
+hard-coded default applied via ``(or param default)`` (SURVEY.md §1.3):
+match threshold 70 (core.clj:1628-1631), space gap 16 (core.clj:1630-1632),
+hooks band 8 (test usage, core_test.clj), noise floor 20 dots
+(core_helper.clj:490-495), threads 1 (core.clj:1496-1497). This engine
+keeps the same knob surface — config is data, never code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    #: nearest-prototype acceptance threshold in [0, 100]; a block whose
+    #: best prototype score is below this is classified ``unknown``
+    #: (reference: match > 70 -> char else "*", core.clj:1628-1634).
+    match_threshold: float = 70.0
+
+    #: gap (chars of raw payload between consecutive kept blocks) at or
+    #: under which adjacent kept blocks are merged into one block — the
+    #: hook/diacritic attachment analog (hooks-value, core.clj:687-751).
+    attach_gap: int = 8
+
+    #: blocks whose visible text is shorter than this are dropped as
+    #: noise before classification (min-dots 20, core_helper.clj:490-495).
+    min_block_chars: int = 3
+
+    #: placeholder emitted for an above-noise block that no prototype
+    #: accepts (the "*" of core.clj:1628-1634). ``None`` drops silently.
+    unknown_placeholder: str | None = None
+
+    #: labels whose blocks contribute to the extracted main content
+    #: (the taught-alphabet "keep" set; FIXTURES.md §2).
+    keep_labels: tuple[str, ...] = ("content", "code", "blob", "tool_output")
+
+    #: separator between kept blocks in the assembled text
+    #: (reference: "\n" per row, core.clj:1687-1689).
+    block_separator: str = "\n"
+
+    #: number of hash buckets for checkpoint/lineage partitioning.
+    lineage_buckets: int = 32
+
+    #: salt width for conv_id-salted repartitioning of the heavy stage.
+    repartition_partitions: int | None = None
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = ExtractionConfig()

@@ -1,0 +1,127 @@
+"""Batch extraction core: segment -> classify -> assemble, Arrow-batched.
+
+This is the engine's grouping+matching hot path — the two stages that
+cost 46% + 36% of the reference's wall clock (progress weights,
+core.clj:153-164). Design: per Arrow batch, every payload is segmented
+(python regex, cheap), then ALL candidate blocks across the whole batch
+are classified in ONE numpy matrix op against the broadcast prototype
+matrix (the vectorized recast of check-matching-fn's nested-loop argmax,
+core.clj:1020-1069), then texts/spans are assembled per payload.
+
+No per-row Python UDFs; classification cost is O(batch) numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ocr_lib_spark.config import DEFAULT_CONFIG, ExtractionConfig
+from ocr_lib_spark.operators.features import block_features, classify, visible_text
+from ocr_lib_spark.operators.prototypes import taught_prototypes
+from ocr_lib_spark.operators.tokenizer import Block, segment_payload
+
+
+def _block_text(b: Block) -> str:
+    if b.decoded_text is not None:
+        return " ".join(b.decoded_text.split())
+    return visible_text(b.raw)
+
+
+def extract_batch(
+    payloads: "pd.Series",
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    prototypes: np.ndarray | None = None,
+    labels: list[str] | None = None,
+    keep: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Extract a batch of raw payloads.
+
+    Returns a DataFrame aligned with ``payloads``:
+      extracted_text : clean main content ('' when nothing kept — the
+                       nil-guard discipline of core.clj:210-239: empty,
+                       never null)
+      spans          : list of {start, end, label} into the ORIGINAL payload
+      n_blocks       : segmented block count (segmentation-stage golden,
+                       core_test.clj:2696-2748 analog)
+    """
+    if prototypes is None:
+        prototypes, labels, keep = taught_prototypes()
+
+    per_row_blocks: list[list[Block]] = []
+    texts: list[list[str]] = []
+    # flat classification workload across the whole batch
+    flat_feats: list[np.ndarray] = []
+    flat_ref: list[tuple[int, int]] = []  # (row_i, block_i)
+
+    for ri, payload in enumerate(payloads.astype(object)):
+        blocks = segment_payload(payload) if isinstance(payload, str) else []
+        per_row_blocks.append(blocks)
+        texts.append([_block_text(b) for b in blocks])
+        for bi, b in enumerate(blocks):
+            if b.forced_label is None and len(texts[ri][bi]) >= cfg.min_block_chars:
+                flat_feats.append(block_features(b.raw))
+                flat_ref.append((ri, bi))
+
+    # one vectorized nearest-prototype pass for the whole batch
+    if flat_feats:
+        best, score = classify(np.stack(flat_feats), prototypes)
+    else:
+        best, score = np.zeros(0, dtype=np.int64), np.zeros(0)
+    assigned: dict[tuple[int, int], tuple[str, float]] = {
+        ref: (labels[best[k]], float(score[k])) for k, ref in enumerate(flat_ref)
+    }
+
+    keep_set = set(cfg.keep_labels)
+    out_text: list[str] = []
+    out_spans: list[list[dict]] = []
+    out_nblocks: list[int] = []
+
+    for ri, blocks in enumerate(per_row_blocks):
+        kept: list[tuple[int, int, int, int, str, str]] = []
+        # (start, end, inner_start, inner_end, label, text)
+        for bi, b in enumerate(blocks):
+            txt = texts[ri][bi]
+            if b.forced_label is not None:
+                label = b.forced_label
+            elif (ri, bi) in assigned:
+                label, sc = assigned[(ri, bi)]
+                if sc <= cfg.match_threshold:
+                    label = "unknown"
+            else:
+                continue  # noise floor: below min_block_chars
+            if label == "unknown":
+                if cfg.unknown_placeholder is not None:
+                    kept.append(
+                        (b.start, b.end, b.inner_start, b.inner_end, "unknown",
+                         cfg.unknown_placeholder)
+                    )
+                continue
+            if label in keep_set and txt:
+                kept.append((b.start, b.end, b.inner_start, b.inner_end, label, txt))
+
+        # gap-tolerant attachment of adjacent kept blocks (hooks analog,
+        # find-dots-hooks-fn core.clj:687-751): raw gap <= attach_gap -> merge
+        merged: list[list] = []
+        for item in kept:
+            if merged and item[0] - merged[-1][1] <= cfg.attach_gap:
+                prev = merged[-1]
+                prev[1] = item[1]
+                prev[3] = item[3]
+                prev[5] = prev[5] + " " + item[5]
+            else:
+                merged.append(list(item))
+
+        out_text.append(cfg.block_separator.join(m[5] for m in merged))
+        out_spans.append(
+            [{"start": int(m[2]), "end": int(m[3]), "label": m[4]} for m in merged]
+        )
+        out_nblocks.append(len(blocks))
+
+    return pd.DataFrame(
+        {
+            "extracted_text": pd.Series(out_text, index=payloads.index, dtype=object),
+            "spans": pd.Series(out_spans, index=payloads.index, dtype=object),
+            "n_blocks": pd.Series(out_nblocks, index=payloads.index, dtype="int32"),
+        }
+    )

@@ -1,0 +1,85 @@
+"""Block feature vectors — the "zero-normalized dot set" analog.
+
+The reference classifies a glyph by comparing its normalized pixel set
+against prototype pixel sets (bring-to-zero-coordinates-fn,
+core.clj:999-1018; check-matching-fn core.clj:1020-1069). This engine
+classifies a markup block by comparing a 6-dim feature vector against
+prototype vectors. All features are bounded to [0, 1] so the L1 score
+below behaves like the reference's percentage match.
+
+Features:
+  0 link_density  — chars inside <a>...</a> regions / raw block length
+  1 tag_ratio     — chars inside <...> markup / raw block length
+  2 text_ratio    — visible (tag-stripped, ws-normalized) chars / raw length
+  3 punct_ratio   — ASCII punctuation / visible chars
+  4 digit_ratio   — digits / visible chars
+  5 mean_token_len— mean visible token length / 10, clipped to 1
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+import numpy as np
+
+N_FEATURES = 6
+
+TAG_RE = re.compile(r"<[^>]*>")
+A_RE = re.compile(r"<a\b[^>]*>.*?</a\s*>", re.S | re.I)
+_PUNCT = set(string.punctuation)
+
+
+def visible_text(raw: str) -> str:
+    """Strip markup and normalize whitespace runs to single spaces."""
+    return " ".join(TAG_RE.sub(" ", raw).split())
+
+
+def block_features(raw: str) -> np.ndarray:
+    """Feature vector of one raw block (markup included)."""
+    n = len(raw)
+    if n == 0:
+        return np.zeros(N_FEATURES)
+    link_chars = sum(m.end() - m.start() for m in A_RE.finditer(raw))
+    tag_chars = sum(m.end() - m.start() for m in TAG_RE.finditer(raw))
+    vis = visible_text(raw)
+    nv = max(len(vis), 1)
+    toks = vis.split()
+    mtl = (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+    return np.array(
+        [
+            link_chars / n,
+            tag_chars / n,
+            len(vis) / n,
+            sum(c in _PUNCT for c in vis) / nv,
+            sum(c.isdigit() for c in vis) / nv,
+            min(mtl / 10.0, 1.0),
+        ]
+    )
+
+
+def match_scores(features: np.ndarray, prototypes: np.ndarray) -> np.ndarray:
+    """Percentage match of each block against each prototype.
+
+    score = 100 * (1 - mean |f - p|)  — the bounded-L1 analog of the
+    reference's 100*|intersection|/|union| Jaccard (core.clj:1039-1050).
+    Shapes: features (B, F), prototypes (P, F) -> (B, P).
+    """
+    if features.size == 0:
+        return np.zeros((0, prototypes.shape[0]))
+    d = np.abs(features[:, None, :] - prototypes[None, :, :]).mean(axis=2)
+    return 100.0 * (1.0 - d)
+
+
+def classify(features: np.ndarray, prototypes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Best prototype index + score per block.
+
+    Tie-break pinned to the reference's fold: strictly-greater wins, the
+    earlier prototype is retained on an exact tie (core.clj:1051-1057 —
+    np.argmax returns the first maximal index).
+    """
+    s = match_scores(features, prototypes)
+    if s.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    best = np.argmax(s, axis=1)
+    return best, s[np.arange(s.shape[0]), best]

@@ -1,0 +1,123 @@
+"""Payload decode + block segmentation with exact source offsets.
+
+Reference analogs:
+  - base64 -> bytes -> image decode at every entry point
+    (read-base64-image-fn core.clj:190-208, ImageIO/read core.clj:1498-1500)
+    -> here: data-URI base64 decode and tool-call JSON unwrapping.
+  - black-dot scan + projection segmentation (read-black-dots-fn
+    core.clj:332-396; oblast-reda/oblast-slova core_helper.clj:675-732)
+    -> here: splitting a raw payload into block-level markup nodes and
+    bare-text runs, each with [start, end) offsets into the ORIGINAL
+    payload string (the span-provenance analog of bbox bookkeeping in
+    find-min-max-fn core.clj:640-685).
+
+Limitations (documented, tested): same-tag nesting inside a block
+element is not split further — the outer block wins, matching the
+reference's whole-component granularity.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+from dataclasses import dataclass, field
+
+BLOCK_TAG_RE = re.compile(
+    r"<(nav|header|footer|aside|p|div|ul|ol|table|pre|code|section|article|h[1-6])"
+    r"\b[^>]*>(.*?)</\1\s*>",
+    re.S | re.I,
+)
+TOOL_HEAD_RE = re.compile(r'^\s*\{\s*"tool_call"')
+TOOL_OUT_RE = re.compile(r'"output"\s*:\s*"')
+DATA_URI_RE = re.compile(r"^data:[A-Za-z0-9.+/-]+;base64,")
+
+
+@dataclass
+class Block:
+    """One segmented block. Offsets index the original payload string."""
+
+    start: int  # raw block start (incl. outer tags)
+    end: int  # raw block end
+    inner_start: int  # visible-content region start
+    inner_end: int  # visible-content region end
+    raw: str  # raw block source (markup included)
+    forced_label: str | None = None  # set for decode-path blocks (blob)
+    decoded_text: str | None = None  # decoded payload for blob blocks
+    meta: dict = field(default_factory=dict)
+
+
+def _html_blocks(payload: str, base: int) -> list[Block]:
+    """Split markup into block elements + nonblank bare-text runs."""
+    blocks: list[Block] = []
+    pos = 0
+    for m in BLOCK_TAG_RE.finditer(payload):
+        if m.start() > pos:
+            seg = payload[pos : m.start()]
+            if seg.strip():
+                blocks.append(
+                    Block(base + pos, base + m.start(), base + pos, base + m.start(), seg)
+                )
+        blocks.append(
+            Block(
+                base + m.start(),
+                base + m.end(),
+                base + m.start(2),
+                base + m.end(2),
+                m.group(0),
+            )
+        )
+        pos = m.end()
+    if pos < len(payload):
+        seg = payload[pos:]
+        if seg.strip():
+            blocks.append(
+                Block(base + pos, base + len(payload), base + pos, base + len(payload), seg)
+            )
+    return blocks
+
+
+def segment_payload(payload: str) -> list[Block]:
+    """Decode + segment one raw turn payload into ordered blocks.
+
+    Decode routing (first match wins):
+      1. tool-call wrapper  -> segment the "output" string value in place
+         (offsets stay relative to the original payload).
+      2. base64 data URI    -> single 'blob' block carrying decoded text.
+      3. anything else      -> markup/bare-text block segmentation.
+    """
+    if not payload or not payload.strip():
+        return []
+    if TOOL_HEAD_RE.match(payload):
+        m = TOOL_OUT_RE.search(payload)
+        if m:
+            vstart = m.end()
+            vend = payload.find('"', vstart)
+            if vend < 0:
+                vend = len(payload)
+            inner = payload[vstart:vend]
+            if not inner.strip():
+                return []
+            return _html_blocks(inner, vstart)
+        return _html_blocks(payload, 0)
+    dm = DATA_URI_RE.match(payload)
+    if dm:
+        b64 = payload[dm.end() :]
+        try:
+            decoded = base64.b64decode(b64, validate=True).decode("utf-8", "replace")
+        except (binascii.Error, ValueError):
+            decoded = None
+        if decoded is not None:
+            return [
+                Block(
+                    0,
+                    len(payload),
+                    dm.end(),
+                    len(payload),
+                    payload,
+                    forced_label="blob",
+                    decoded_text=decoded,
+                )
+            ]
+        # fall through: not valid base64 -> treat as text
+    return _html_blocks(payload, 0)

@@ -1,0 +1,125 @@
+"""The production extraction pipeline (read-image-fn analog).
+
+Reference lifecycle (SURVEY.md §3.1, core.clj:1772-1806): decode ->
+stripe-parallel segmentation -> prototype load -> bucket-parallel
+classification -> ordered reassembly. Spark recast, one job:
+
+    transcripts
+      -> repartition(P, conv_id, turn_idx)      # salted spread: hashing
+         (turn_idx participates in the key, so a 10^6-turn conversation
+          spreads across all partitions — the divide-rows/skew analog,
+          core.clj:1519-1589)
+      -> mapInPandas(extract_batch)             # segment + classify +
+         (prototype matrix broadcast once —       assemble, Arrow batches
+          stage 2 of the reference becomes a
+          broadcast variable, not a job)
+      -> stable (conv_id, turn_idx) ordering on demand
+
+Extraction is turn-local (the single biggest simplification vs the
+reference: components never span turns, so the whole stripe-boundary
+merge machinery core.clj:1392-1458 disappears — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_lib_spark.config import DEFAULT_CONFIG, ExtractionConfig
+from ocr_lib_spark.operators.extract import extract_batch
+from ocr_lib_spark.operators.prototypes import taught_prototypes
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("n_blocks", T.IntegerType()),
+    ]
+)
+
+
+def extract_turns(
+    df: DataFrame,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    partitions: int | None = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, ...) -> extracted turns.
+
+    The prototype matrix is broadcast once (nauci-slova analog); the
+    heavy work runs in Arrow-batched ``mapInPandas`` so a 1000-executor
+    cluster scales linearly — no grouping, no shuffle beyond the one
+    explicit balancing repartition (skippable when the upstream layout
+    is already balanced, e.g. fresh parquet splits).
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(taught_prototypes())
+
+    def run(batches):
+        protos, labels, keep = bc.value
+        for pdf in batches:
+            res = extract_batch(pdf["text"], cfg, protos, labels, keep)
+            out = pdf[["conv_id", "turn_idx", "role"]].copy()
+            out["extracted_text"] = res["extracted_text"].values
+            out["spans"] = res["spans"].values
+            out["n_blocks"] = res["n_blocks"].values
+            yield out
+
+    src = df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text")
+    if repartition:
+        p = partitions or cfg.repartition_partitions or spark.sparkContext.defaultParallelism
+        src = src.repartition(p, "conv_id", "turn_idx")
+    return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def ordered(extracted: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) presentation order — the reading-order
+    invariant (sort-rows / thread-result reordering, core.clj:753-785,
+    1746-1751). Use only at the consumption edge; intermediate stages
+    stay unordered (Spark shuffles don't preserve order anyway)."""
+    return extracted.orderBy("conv_id", "turn_idx")
+
+
+def assemble_conversations(extracted: DataFrame, cfg: ExtractionConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Conversation-level document assembly: turn texts concatenated in
+    turn order (per-row text assembly + newline insertion analog,
+    core.clj:1687-1689) — pure Catalyst (collect_list over a window,
+    then a single array_join), no UDF."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        extracted.withColumn("texts", F.collect_list("extracted_text").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.first("texts").alias("texts"),
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("extracted_text") != "", 1).otherwise(0)).alias(
+                "n_content_turns"
+            ),
+        )
+        .select(
+            "conv_id",
+            F.array_join(F.filter("texts", lambda t: t != ""), cfg.block_separator).alias(
+                "conv_text"
+            ),
+            "n_turns",
+            "n_content_turns",
+        )
+    )

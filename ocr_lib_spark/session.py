@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test/bench harness; the same config block is what a
+`spark-submit --py-files` deployment would carry to a real cluster
+(where `master`/`shuffle partitions` come from the cluster manager).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "ocr-lib-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    - AQE on: runtime partition coalescing + skew-join splitting are the
+      backstop for residual skew after explicit conv_id salting.
+    - Arrow on: every pandas UDF round-trips columnar batches.
+    - UTC session timezone: required for DuckDB-oracle comparability.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
