@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship main-content extraction over the transcript
+                 corpus derived from sf0.001 documents.
+queries()      — every implemented operator (SURVEY.md §2 + training-data
+                 ops), one callable per name.
+oracle_sql()   — DuckDB twin for each query (all entries have one).
 """
 
 from __future__ import annotations
@@ -13,26 +13,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_lib_spark.plans import build_registry
+
+_REGISTRY = build_registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: derive transcripts from
+    the documents table, run the extraction pipeline, return per-turn
+    clean text + spans + block counts."""
+    from ocr_lib_spark.pipeline import extract_turns
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    return extract_turns(tr)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.fn for name, qd in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: qd.oracle for name, qd in _REGISTRY.items() if qd.oracle}

@@ -1,0 +1,104 @@
+"""Text-analysis column functions — all pure `pyspark.sql.functions`
+compositions (whole-stage codegen, no Python), mirroring the scalar
+kernels of the reference (contrast-fn core.clj:210-239 and friends) on
+the text domain, plus the training-data-pipeline text ops (language ID,
+quality scoring, token counting, fingerprinting).
+
+Determinism contract: every function here has an exact ANSI-SQL twin
+(DuckDB-runnable) used by the correctness oracles. Floating results are
+produced only by single divisions of exactly-representable integers, so
+they're bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+VOWELS = "aeiou"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(F.trim(c), r"\s+")))
+    )
+
+
+def vowel_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.translate(c, VOWELS, ""))
+
+
+def vowel_ratio(text: Column | str) -> Column:
+    """Vowels / chars — the n-gram-free language-ID heuristic signal."""
+    c = F.col(text) if isinstance(text, str) else text
+    return vowel_count(c) / F.greatest(F.length(c), F.lit(1))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language-ID bands over the vowel ratio (deterministic
+    synthetic analog of stopword-profile language ID)."""
+    r = vowel_ratio(text)
+    return (
+        F.when(r >= 0.42, F.lit("vowelic"))
+        .when(r >= 0.30, F.lit("en-like"))
+        .when(r >= 0.18, F.lit("cons-lite"))
+        .otherwise(F.lit("consonantal"))
+    )
+
+
+def quality_score(text: Column | str, n_chars: Column | str | None = None) -> Column:
+    """Integer quality score in [0, 100]: length band + token richness —
+    the block-size sanity-gate analog (core_helper.clj:1159-1166), pure
+    integer arithmetic for cross-engine exactness."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c) if n_chars is None else (
+        F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    )
+    toks = token_count(c)
+    dtoks = distinct_token_count(c)
+    len_pts = F.least(F.floor(n / F.lit(10)), F.lit(40)).cast("long")
+    tok_pts = F.least(toks, F.lit(30)).cast("long")
+    rich_pts = F.least(dtoks * 2, F.lit(30)).cast("long")
+    return (len_pts + tok_pts + rich_pts).alias("quality")
+
+
+def md5_fingerprint(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def hex_bucket(text: Column | str, n_buckets: int = 1024) -> Column:
+    """Stable integer bucket from the md5 prefix — the cross-engine
+    deterministic hash primitive (15 hex digits fit int64)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+
+
+def stable_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash usable as a minhash kernel —
+    identical to DuckDB's ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-gram shingle array (set semantics — the
+    dot-set implicit-DISTINCT analog, SURVEY.md §2.3). Strings shorter
+    than k yield a single truncated shingle, matching the DuckDB twin
+    ``list_distinct(list_transform(range(1, greatest(len - k + 1, 1) + 1),
+    i -> substring(text, i, k)))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(c, i, F.lit(k))))

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's collections are sets — every insert is an implicit
+DISTINCT (SURVEY.md §2.3) and Jaccard |∩|/|∪| is its matching kernel
+(check-matching-fn core.clj:1020-1069). These operators lift exactly
+those primitives to corpus scale:
+
+  exact_duplicates      hash-groupBy (one shuffle on the digest)
+  ngram_jaccard         shingle-set Jaccard between candidate pairs
+  minhash_signatures    k independent min-hashes over shingle sets
+  lsh_candidate_pairs   banded LSH bucketing -> same-bucket pair join
+  simhash64             bitwise majority fingerprint over token hashes
+  embedding_near_dup    cosine-threshold near-dup over vector columns
+
+Scale notes (100 TB): every operator shuffles once on a bounded-width
+key (digest / band hash / bucket); candidate-pair joins never go
+quadratic — LSH bands bound the comparison set, the exact-Jaccard
+verifier runs only on candidates. AQE skew-join splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.functions.text import char_shingles, stable_hash64
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: one map-side-combinable groupBy.
+    Returns one row per distinct content: (digest, n_docs, keep_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    return df.select(F.col(id_col), char_shingles(F.col(text_col), k).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, k: int = 5, left_text: str = "text_a", right_text: str = "text_b"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pre-selected candidate pairs —
+    the verification stage after LSH candidate generation. Pure array
+    functions (array_intersect/array_union = clojure.set intersection/
+    union, SURVEY.md §2.6)."""
+    a = char_shingles(F.col(left_text), k)
+    b = char_shingles(F.col(right_text), k)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return pairs.withColumn(
+        "jaccard", (inter / F.greatest(union, F.lit(1))).cast("double")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """k-min-hash signature per document.
+
+    h_i(doc) = min over shingles s of H(s || '#' || i), with H the
+    md5-prefix integer hash (cross-engine deterministic). Computed by
+    exploding distinct shingles once and taking n_hashes mins in ONE
+    aggregation (map-side partial aggregation keeps the shuffle narrow:
+    n_docs × n_hashes longs, independent of document length)."""
+    sh = (
+        df.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    aggs = [
+        F.min(stable_hash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate
+    pair. Shuffle key = (band_idx, band_hash); within-bucket self-join
+    is bounded by bucket size (near-dup clusters), never corpus size."""
+    n_bands = n_hashes // band_rows
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit j of the fingerprint is
+    the majority vote of token-hash bit j. Expressed relationally
+    (explode -> per-bit sum of ±1 -> bit pack) so Catalyst keeps it in
+    codegen; the shuffle is one groupBy on the doc id."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("th", stable_hash64(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(60)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(60):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long") * (2**j)).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lsh_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: coordinate-hyperplane LSH bucket
+    (sign of the first n bits) prunes candidates, exact cosine verifies.
+    At corpus scale the bucket join replaces the quadratic cross join."""
+    withb = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _sign_bucket(F.col(vec_col), n_lsh_bits).alias("bucket"),
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (na * nb)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _sign_bucket(vec, n_bits: int):
+    """Integer bucket from the signs of the first n_bits coordinates —
+    a deterministic, cross-engine LSH family (axis hyperplanes)."""
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(0)
+    return b.cast("int")

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's matcher is a broadcast nested-loop argmax: every
+unknown sign scored against every prototype (check-matching-fn,
+core.clj:1020-1069). Lifted to vectors:
+
+  brute_force_topk  — broadcast the (small) query set against the corpus,
+                      exact cosine, per-query top-k. The baseline.
+  lsh_topk          — sign-bucket LSH restricts each query to its bucket
+                      (+ optional neighbor probing) — the 100 TB path.
+
+Cosine is computed with built-in higher-order array functions
+(zip_with/aggregate → JVM codegen, no Python); top-k via window
+row_number, never a driver-side sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.operators.dedup import _sign_bucket
+
+
+def _cosine(av, bv):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast(queries) × corpus, cosine, windowed top-k.
+    Deterministic rank tie-break by neighbor id ascending."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's sign bucket.
+    Recall < 1 by construction; at corpus scale the equi-join on bucket
+    replaces the cross join (shuffle key = bucket)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification: majority label among the exact top-k
+    neighbors; ties broken by (count desc, label asc) — pinned like the
+    reference's first-wins argmax (core.clj:1051-1057)."""
+    topk = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel"))
+    votes = topk.join(lab, "neighbor_id").groupBy(
+        "query_id", "nlabel"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"), F.col("n").alias("votes"))
+    )

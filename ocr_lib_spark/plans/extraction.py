@@ -1,0 +1,209 @@
+"""Extraction-pipeline queries with closed-form DuckDB oracles.
+
+The transcripts are derived from ``documents`` by the deterministic
+case rule in sources/synth.py; the oracle predicts the extraction
+output from the construction, while the engine must earn it from the
+payload alone (segment -> classify -> assemble). This is the engine's
+end-to-end golden — the analog of the reference's pinned
+``"* **** i ********\\n"`` (core_test.clj:3225-3228).
+"""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.pipeline import assemble_conversations, extract_turns
+from ocr_lib_spark.plans import QueryDef
+from ocr_lib_spark.sources.synth import (
+    B64_PRE,
+    LINKFARM,
+    N_CASES,
+    N_CONVS,
+    NAV,
+    TOOL_PRE,
+    transcripts_from_documents,
+)
+
+# span-offset constants implied by the construction (python side computes
+# them once; the SQL below inlines the integers)
+_S1 = len(NAV) + len("<p>")  # content start for cases 1 and 2
+_S2_EXTRA = len("</p>") + len(LINKFARM) + len("<p>")  # case 2: second span offset after first
+_S3 = len(TOOL_PRE)
+_S4 = len(B64_PRE)
+
+_CONV = f"printf('conv-%08d', doc_id % {N_CONVS})"
+_TURN = f"CAST(FLOOR(doc_id / {N_CONVS}) AS INT)"
+_CASE = f"CAST(doc_id % {N_CASES} AS INT)"
+
+
+def _q_extract_text(spark, sf_dir):
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text"),
+        F.col("n_blocks"),
+    )
+
+
+_ORACLE_TEXT = f"""
+SELECT {_CONV} AS conv_id,
+       {_TURN} AS turn_idx,
+       CASE {_CASE}
+         WHEN 2 THEN text || chr(10) || text
+         WHEN 5 THEN ''
+         WHEN 6 THEN ''
+         ELSE text END AS extracted_text,
+       CAST(CASE {_CASE}
+         WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 1
+         WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE 0 END AS INT) AS n_blocks
+FROM documents
+"""
+
+
+def _q_extract_spans(spark, sf_dir):
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    return ex.select(
+        "conv_id", "turn_idx", F.posexplode("spans").alias("span_idx", "s")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+        F.col("s.label").alias("span_label"),
+    )
+
+
+_ORACLE_SPANS = f"""
+WITH base AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx, {_CASE} AS c, n_chars
+  FROM documents
+)
+SELECT conv_id, turn_idx, CAST(0 AS INT) AS span_idx,
+       CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN {_S1} WHEN 2 THEN {_S1}
+                   WHEN 3 THEN {_S3} ELSE {_S4} END AS INT) AS span_start,
+       CAST(CASE c WHEN 0 THEN n_chars
+                   WHEN 1 THEN {_S1} + n_chars
+                   WHEN 2 THEN {_S1} + n_chars
+                   WHEN 3 THEN {_S3} + n_chars
+                   ELSE {_S4} + 4 * CAST(FLOOR((n_chars + 2) / 3) AS INT)
+        END AS INT) AS span_end,
+       CASE c WHEN 4 THEN 'blob' ELSE 'content' END AS span_label
+FROM base WHERE c IN (0, 1, 2, 3, 4)
+UNION ALL
+SELECT conv_id, turn_idx, CAST(1 AS INT) AS span_idx,
+       CAST({_S1} + n_chars + {_S2_EXTRA} AS INT) AS span_start,
+       CAST({_S1} + n_chars + {_S2_EXTRA} + n_chars AS INT) AS span_end,
+       'content' AS span_label
+FROM base WHERE c = 2
+"""
+
+
+def _q_conv_assembly(spark, sf_dir):
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    return assemble_conversations(ex).select(
+        "conv_id", "conv_text", "n_turns", "n_content_turns"
+    )
+
+
+_ORACLE_CONV = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+)
+SELECT conv_id,
+       coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                FILTER (WHERE extracted_text <> ''), '') AS conv_text,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE extracted_text <> '') AS n_content_turns
+FROM per_turn GROUP BY conv_id
+"""
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: documents as opaque binary payloads with a
+    deterministic STUB decode (container lacks real image/audio codecs;
+    the Spark plumbing — binary column, Arrow batch shape, mapInPandas
+    signature — is real; the decode kernel is a pinned fake)."""
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("fake_width", T.IntegerType()),
+            T.StructField("fake_height", T.IntegerType()),
+            T.StructField("content_md5", T.StringType()),
+        ]
+    )
+
+    def decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["payload"]
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    # STUB decode: dims derived from header byte + length —
+                    # a real build swaps in PIL/ffmpeg here.
+                    "fake_width": (raw.map(lambda b: b[0] % 64) + 1).astype("int32"),
+                    "fake_height": (n % 64 + 1).astype("int32"),
+                    "content_md5": raw.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return payload.mapInPandas(decode, schema=schema)
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(n_chars AS INT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
+       CAST(n_chars % 64 + 1 AS INT) AS fake_height,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "extract_text": QueryDef(
+        _q_extract_text,
+        _ORACLE_TEXT,
+        "flagship: per-turn main-content extraction (read-image-fn analog, core.clj:1772-1806)",
+    ),
+    "extract_spans": QueryDef(
+        _q_extract_spans,
+        _ORACLE_SPANS,
+        "span offsets into the original payload (bbox provenance, core.clj:640-685)",
+    ),
+    "conv_assembly": QueryDef(
+        _q_conv_assembly,
+        _ORACLE_CONV,
+        "conversation-level ordered text assembly (core.clj:1687-1689)",
+    ),
+    "multimodal_meta": QueryDef(
+        _q_multimodal_meta,
+        _ORACLE_MULTIMODAL,
+        "binary payload plumbing w/ stubbed decode (read-base64-image-fn analog, core.clj:190-208)",
+    ),
+}

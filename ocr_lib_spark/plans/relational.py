@@ -1,0 +1,364 @@
+"""Relational operator battery — each query is the Spark-first recast of
+one reference operator shape (SURVEY.md §2), with an exact DuckDB twin.
+
+Cross-engine float policy: money values floor to integer cents PER ROW
+(CAST(FLOOR(x*100) AS BIGINT)) before aggregation, so sums are exact
+integers regardless of partial-aggregation order; ratios are single
+divisions of exact integers (bit-identical IEEE both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.plans import QueryDef, load
+
+
+def _cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+# --- scan + filter + aggregate (read-black-dots-fn scan/binarize/filter,
+# --- core.clj:332-396; TPC-H Q1 shape) --------------------------------------
+
+def _q1(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "disc_cents"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows"))
+    )
+
+
+_O_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))::BIGINT AS base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS disc_cents,
+       COUNT(*) AS n_rows,
+       (SUM(CAST(FLOOR(l_quantity) AS BIGINT)) / COUNT(*))::DOUBLE AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- grouped min/max bounding box (find-min-max-fn, core.clj:640-685) -------
+
+def _bbox(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.min(F.floor("l_quantity").cast("long")).alias("qty_min"),
+        F.max(F.floor("l_quantity").cast("long")).alias("qty_max"),
+        F.min(_cents(F.col("l_extendedprice"))).alias("price_min_cents"),
+        F.max(_cents(F.col("l_extendedprice"))).alias("price_max_cents"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_O_BBOX = """
+SELECT l_orderkey,
+       MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_min,
+       MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_max,
+       MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_min_cents,
+       MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_max_cents,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- per-group argmax with pinned tie-break (check-matching-fn fold,
+# --- core.clj:1020-1069: strictly-greater wins, first/lowest key on tie) ----
+
+def _top1(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            _cents(F.col("o_totalprice")).alias("best_price_cents"),
+        )
+    )
+
+
+_O_TOP1 = """
+SELECT o_custkey, best_orderkey, best_price_cents FROM (
+  SELECT o_custkey, o_orderkey AS best_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS best_price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+# --- lag-gap detection + sessionization (space-insertion threading,
+# --- core.clj:1610-1621; stripe merge core.clj:1392-1458) -------------------
+
+def _sessions(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("new_session") + 1).alias("n_sessions"),
+    )
+
+
+_O_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       (SUM(new_session) + 1)::BIGINT AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+# --- range/band join via day-bucket equi-join (find-dots-hooks-fn interval
+# --- join, core.clj:687-751) — the 100 TB path: bucketize the range key,
+# --- equi-join buckets, filter exact band; never a cross join ---------------
+
+def _band_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    ob = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", "o_orderdate"),
+                F.date_trunc("DAY", F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )
+    lb = l.select(F.date_trunc("DAY", "l_shipdate").alias("d"), "l_shipdate")
+    hits = (
+        ob.join(lb, "d")
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_in_band"))
+    )
+    return (
+        o.select("o_orderkey")
+        .join(hits, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n_in_band", F.lit(0)).alias("n_in_band"))
+    )
+
+
+_O_BAND = """
+SELECT o.o_orderkey,
+       COUNT(l.l_shipdate) AS n_in_band
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+# --- broadcast dimension join (prototype-alphabet broadcast,
+# --- core.clj:957-997 -> small dims broadcast, big fact shuffles once) ------
+
+def _region_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_O_REGION = """
+SELECT r.r_name, n.n_name,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+# --- semi/anti join (clojure.set/difference frontier bookkeeping,
+# --- core.clj:582-589 -> relational EXISTS / NOT EXISTS) --------------------
+
+def _anti_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    okeys = o.select("o_custkey").distinct()
+    witho = c.join(okeys, c.c_custkey == okeys.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+    without = c.join(okeys, c.c_custkey == okeys.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    w = witho.groupBy("c_nationkey").agg(F.count("*").alias("n_with_orders"))
+    wo = without.groupBy("c_nationkey").agg(F.count("*").alias("n_without_orders"))
+    return (
+        base.join(w, "c_nationkey", "left")
+        .join(wo, "c_nationkey", "left")
+        .join(F.broadcast(n), base.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+_O_ANTI_SEMI = """
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       COALESCE(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 1 ELSE 0 END), 0) AS n_with_orders,
+       COALESCE(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 1 ELSE 0 END), 0) AS n_without_orders
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# --- distinct / set semantics (implicit DISTINCT of dot sets, core.clj:341) -
+
+def _distinct_users(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_O_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --- run-length segmentation (projection-profile runs,
+# --- core_helper.clj:395-444: consecutive-run boundaries) -------------------
+
+def _run_length(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("chg", chg)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("chg").alias("n_runs"))
+    )
+
+
+_O_RUNLEN = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, SUM(chg)::BIGINT AS n_runs
+FROM g GROUP BY user_id
+"""
+
+
+# --- stable reading-order re-index (sort-rows/sort-row-elements comparators,
+# --- core.clj:753-785; thread-result reordering core.clj:1746-1751) ---------
+
+def _reindex(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).alias("seq_idx")
+    )
+
+
+_O_REINDEX = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_idx
+FROM events
+"""
+
+
+# --- tumbling-window aggregation (stripe partitioning recast to time,
+# --- core.clj:1135-1192; batch twin of the streaming path) ------------------
+
+def _window_5min(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_cents")
+    )
+
+
+_O_WINDOW = """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q1_scan_agg": QueryDef(_q1, _O_Q1, "scan+filter+aggregate (core.clj:332-396)"),
+    "bbox_minmax": QueryDef(_bbox, _O_BBOX, "grouped 4-way min/max bbox (core.clj:640-685)"),
+    "top1_argmax": QueryDef(_top1, _O_TOP1, "per-group argmax, pinned tie-break (core.clj:1020-1069)"),
+    "gap_sessionize": QueryDef(_sessions, _O_SESSIONS, "lag-gap sessionization (core.clj:1610-1621)"),
+    "range_band_join": QueryDef(_band_join, _O_BAND, "interval band join via day buckets (core.clj:687-751)"),
+    "region_revenue": QueryDef(_region_revenue, _O_REGION, "broadcast dim join + agg (core.clj:957-997)"),
+    "anti_semi_customers": QueryDef(_anti_semi, _O_ANTI_SEMI, "semi/anti set difference (core.clj:582-589)"),
+    "distinct_user_events": QueryDef(_distinct_users, _O_DISTINCT, "distinct set semantics (core.clj:341)"),
+    "event_run_length": QueryDef(_run_length, _O_RUNLEN, "run-length segmentation (core_helper.clj:395-444)"),
+    "event_reindex": QueryDef(_reindex, _O_REINDEX, "stable reading-order window (core.clj:753-785)"),
+    "window_agg_5min": QueryDef(_window_5min, _O_WINDOW, "tumbling window agg (core.clj:1135-1192)"),
+}

@@ -1,0 +1,256 @@
+"""Training-data text ops over ``documents`` — token stats, language ID,
+quality scoring, fingerprinting, exact/near dedup (SURVEY.md build brief:
+first-class components alongside the §2 inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.functions.text import (
+    char_shingles,
+    distinct_token_count,
+    hex_bucket,
+    lang_id,
+    md5_fingerprint,
+    quality_score,
+    token_count,
+    vowel_ratio,
+)
+from ocr_lib_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from ocr_lib_spark.plans import QueryDef, load
+
+N_HASHES = 8
+BAND_ROWS = 2
+SHINGLE_K = 5
+SIMHASH_BITS = 20  # oracle SQL grows per bit; 20 is plenty to pin semantics
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+# --- token statistics (scalar kernels; contrast-fn analog core.clj:210-239) -
+
+def _text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        F.length("text").alias("n_chars_m"),
+        (tok_chars / F.greatest(token_count("text"), F.lit(1))).alias("mean_tok_len"),
+    )
+
+
+_O_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+       length(text) AS n_chars_m,
+       list_sum(list_transform(string_split(trim(text), ' '), t -> length(t)))::DOUBLE
+         / greatest(len(string_split(trim(text), ' ')), 1) AS mean_tok_len
+FROM documents
+"""
+
+
+# --- language ID + quality (nearest-prototype scalar banding) ---------------
+
+def _lang_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        vowel_ratio("text").alias("vowel_ratio"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_O_LANG_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS vowel_ratio,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+  FROM documents)
+SELECT doc_id, vowel_ratio,
+       CASE WHEN vowel_ratio >= 0.42 THEN 'vowelic'
+            WHEN vowel_ratio >= 0.30 THEN 'en-like'
+            WHEN vowel_ratio >= 0.18 THEN 'cons-lite'
+            ELSE 'consonantal' END AS lang_guess,
+       least(CAST(FLOOR(length(text) / 10) AS BIGINT), 40)
+         + least(n_tokens, 30)::BIGINT
+         + least(n_distinct * 2, 30)::BIGINT AS quality
+FROM t
+"""
+
+
+# --- fingerprint (digest + stable bucket) -----------------------------------
+
+def _fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        md5_fingerprint("text").alias("fp"),
+        hex_bucket("text", 1024).alias("bucket"),
+    )
+
+
+_O_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT % 1024 AS bucket
+FROM documents
+"""
+
+
+# --- exact dedup (hash-groupBy) ----------------------------------------------
+
+def _exact_dedup(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+_O_EXACT_DEDUP = """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- n-gram Jaccard on adjacent-id pairs (bounded pair set; the exact
+# --- verification kernel 100*|∩|/|∪|, core.clj:1039-1050) --------------------
+
+def _adjacent_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("id_a"), char_shingles(F.col("text"), SHINGLE_K).alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), char_shingles(F.col("text"), SHINGLE_K).alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+            (inter / union).alias("jaccard"),
+        )
+    )
+
+
+_O_ADJ_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                      i -> substring(text, i, {SHINGLE_K}))) AS s
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+       len(list_distinct(list_concat(a.s, b.s)))::BIGINT AS n_union,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# --- MinHash signatures + banded LSH candidate pairs ------------------------
+
+def _minhash(spark, sf_dir):
+    return minhash_signatures(
+        _docs(spark, sf_dir), n_hashes=N_HASHES, k=SHINGLE_K
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"MIN(('0x' || substr(md5(sh || '#{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s AS sh FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                               i -> substring(text, i, {SHINGLE_K})))) AS s
+    FROM documents))
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def _lsh_pairs(spark, sf_dir):
+    sig = minhash_signatures(_docs(spark, sf_dir), n_hashes=N_HASHES, k=SHINGLE_K)
+    return lsh_candidate_pairs(sig, n_hashes=N_HASHES, band_rows=BAND_ROWS)
+
+
+def _lsh_pairs_oracle() -> str:
+    n_bands = N_HASHES // BAND_ROWS
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{b * BAND_ROWS}::VARCHAR || '|' || h{b * BAND_ROWS + 1}::VARCHAR) AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s AS sh FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                               i -> substring(text, i, {SHINGLE_K})))) AS s
+    FROM documents)),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(('0x' || substr(md5(sh || '#{i}'), 1, 15))::BIGINT) AS h{i}" for i in range(N_HASHES))}
+  FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash fingerprint ------------------------------------------------------
+
+def _simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir)).select(
+        "doc_id", (F.col("simhash") % (2**SIMHASH_BITS)).alias("simhash_low")
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+  FROM toks WHERE tok <> ''),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp}) AS simhash_low FROM v
+"""
+
+
+QUERIES = {
+    "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
+    "lang_quality": QueryDef(_lang_quality, _O_LANG_QUALITY, "language-ID heuristic + integer quality score"),
+    "doc_fingerprint": QueryDef(_fingerprint, _O_FINGERPRINT, "digest fingerprint + stable hash bucket"),
+    "exact_dedup": QueryDef(_exact_dedup, _O_EXACT_DEDUP, "exact dedup via hash-groupBy (set semantics, core.clj:341)"),
+    "adjacent_jaccard": QueryDef(_adjacent_jaccard, _O_ADJ_JACCARD, "shingle-set Jaccard kernel (core.clj:1039-1050)"),
+    "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),
+    "lsh_candidate_pairs": QueryDef(_lsh_pairs, _lsh_pairs_oracle(), "banded LSH near-dup candidates"),
+    "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
+}

@@ -98,7 +98,7 @@ def transcripts_select_sql(documents_rel: str = "documents") -> str:
     return f"""
 SELECT
   printf('conv-%08d', doc_id % {N_CONVS}) AS conv_id,
-  CAST(doc_id / {N_CONVS} AS INT) AS turn_idx,
+  CAST(FLOOR(doc_id / {N_CONVS}) AS INT) AS turn_idx,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
   CASE CAST(doc_id % {N_CASES} AS INT)
     WHEN 0 THEN text
@@ -120,8 +120,12 @@ def transcripts_from_documents(spark, sf_dir: str):
     pure Catalyst SQL, no UDF: the scan stays pushdown/prune-friendly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("__synth_documents")
+    # Spark's base64() may emit MIME-chunked output (\r\n every 76 chars
+    # depending on spark.sql.legacy.chunkBase64String.enabled); strip the
+    # line breaks so the payload matches RFC-4648-without-breaks (DuckDB's
+    # to_base64) and the span arithmetic stays closed-form.
     sql = transcripts_select_sql("__synth_documents").replace(
-        "{B64}", "base64(cast(text AS BINARY))"
+        "{B64}", r"regexp_replace(base64(cast(text AS BINARY)), '[\\r\\n]', '')"
     )
     return spark.sql(sql)
 
