@@ -1,0 +1,57 @@
+"""Driver-contract test: every queries() entry runs, and a fast subset
+is compared against its DuckDB oracle at sf0.001 (the full battery runs
+at sf0.01 via tools/check_correctness.py — same comparator)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_correctness import TABLES, frame_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "extract_text",
+    "extract_spans",
+    "conv_assembly",
+    "multimodal_meta",
+    "q1_scan_agg",
+    "top1_argmax",
+    "gap_sessionize",
+    "text_stats",
+    "exact_dedup",
+    "cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    names = [f.name for f in df.schema.fields]
+    assert names == ["conv_id", "turn_idx", "role", "extracted_text", "spans", "n_blocks"]
+    assert df.count() > 0
+
+
+def test_every_query_has_oracle():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20
+    missing = set(qs) - set(os_)
+    assert missing == set(), f"rows-only queries (expected none): {missing}"
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, con, name):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = con.execute(os_[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert frame_hash(sdf) == frame_hash(odf), f"{name}: value hash mismatch"

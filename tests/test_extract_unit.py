@@ -1,0 +1,169 @@
+"""Per-operator unit tests in the reference's nil-propagation spirit
+(SURVEY.md §5: every fn gets degenerate inputs first, then real ones —
+e.g. contrast-fn core_test.clj:300-394)."""
+
+import base64
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_lib_spark.config import ExtractionConfig
+from ocr_lib_spark.operators.extract import extract_batch
+from ocr_lib_spark.operators.features import block_features, classify, match_scores
+from ocr_lib_spark.operators.prototypes import taught_prototypes
+from ocr_lib_spark.operators.tokenizer import segment_payload
+from ocr_lib_spark.sources.synth import (
+    B64_PRE,
+    FOOTER,
+    LINKFARM,
+    NAV,
+    TOOL_PRE,
+    TOOL_POST,
+    build_payload,
+)
+
+PROSE = "key agg row scan slow fast table value part hash join order data column"
+
+
+def run_one(payload, cfg=ExtractionConfig()):
+    out = extract_batch(pd.Series([payload]), cfg)
+    return out.extracted_text[0], out.spans[0], int(out.n_blocks[0])
+
+
+# --- degenerate inputs (nil-guard analog, core.clj:210-239) ------------------
+
+@pytest.mark.parametrize("payload", [None, "", "   ", " \t\n ", 42, 3.14])
+def test_degenerate_payloads_yield_empty_not_null(payload):
+    text, spans, nb = run_one(payload)
+    assert text == ""
+    assert spans == []
+    assert nb == 0
+
+
+def test_whitespace_only_paragraph_is_counted_but_not_kept():
+    text, spans, nb = run_one(f"{NAV}<p>   </p>{FOOTER}")
+    assert text == "" and spans == [] and nb == 3
+
+
+# --- tokenizer offsets (bbox provenance, core.clj:640-685) -------------------
+
+def test_segment_offsets_index_original_payload():
+    p = build_payload(PROSE, 1)
+    blocks = segment_payload(p)
+    assert len(blocks) == 3
+    content = blocks[1]
+    assert p[content.inner_start : content.inner_end] == PROSE
+
+
+def test_tool_wrapper_offsets():
+    p = TOOL_PRE + PROSE + TOOL_POST
+    blocks = segment_payload(p)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert p[b.inner_start : b.inner_end] == PROSE
+    assert b.inner_start == len(TOOL_PRE)
+
+
+def test_blob_decode_roundtrip():
+    p = B64_PRE + base64.b64encode(PROSE.encode()).decode()
+    blocks = segment_payload(p)
+    assert len(blocks) == 1
+    assert blocks[0].forced_label == "blob"
+    assert blocks[0].decoded_text == PROSE
+    assert blocks[0].inner_start == len(B64_PRE)
+    assert blocks[0].inner_end == len(p)
+
+
+def test_invalid_base64_falls_through_to_text():
+    blocks = segment_payload("data:application/pdf;base64,!!!notb64!!!")
+    assert blocks and blocks[0].forced_label is None
+
+
+# --- classification (check-matching-fn semantics, core.clj:1020-1069) -------
+
+def test_boilerplate_classified_and_dropped():
+    for b in (NAV, FOOTER, LINKFARM):
+        text, spans, nb = run_one(b)
+        assert text == "" and spans == []
+
+
+def test_content_scores_beat_threshold():
+    protos, labels, keep = taught_prototypes()
+    f = block_features(f"<p>{PROSE}</p>")
+    best, score = classify(f[None, :], protos)
+    assert labels[best[0]] == "content"
+    assert score[0] > 70.0
+
+
+def test_tie_break_first_prototype_wins():
+    # two identical prototypes -> argmax must return the first
+    protos = np.array([[0.5] * 6, [0.5] * 6])
+    best, _ = classify(np.array([[0.5] * 6]), protos)
+    assert best[0] == 0
+
+
+def test_match_threshold_knob_unknown_placeholder():
+    cfg = ExtractionConfig(match_threshold=100.0, unknown_placeholder="*")
+    text, spans, nb = run_one(f"<p>{PROSE}</p>", cfg)
+    assert text == "*"
+    assert spans[0]["label"] == "unknown"
+
+    cfg2 = ExtractionConfig(match_threshold=100.0, unknown_placeholder=None)
+    text2, spans2, _ = run_one(f"<p>{PROSE}</p>", cfg2)
+    assert text2 == "" and spans2 == []
+
+
+# --- assembly: attach gap + noise floor + separators -------------------------
+
+def test_adjacent_blocks_merge_within_attach_gap():
+    text, spans, nb = run_one("<p>alpha beta gamma</p><p>delta epsilon zeta</p>")
+    assert text == "alpha beta gamma delta epsilon zeta"
+    assert len(spans) == 1 and nb == 2
+
+
+def test_blocks_beyond_attach_gap_stay_separate():
+    p = f"<p>alpha beta gamma</p>{LINKFARM}<p>delta epsilon zeta</p>"
+    text, spans, nb = run_one(p)
+    assert text == "alpha beta gamma\ndelta epsilon zeta"
+    assert len(spans) == 2 and nb == 3
+
+
+def test_noise_floor_drops_tiny_blocks():
+    cfg = ExtractionConfig(min_block_chars=20)
+    text, _, nb = run_one("<p>tiny</p>", cfg)
+    assert text == "" and nb == 1
+    text2, _, _ = run_one(f"<p>{PROSE}</p>", cfg)
+    assert text2 == PROSE
+
+
+def test_whitespace_normalization_inside_block():
+    text, spans, _ = run_one("<p>a   b\t\tc\n\nd</p>")
+    assert text == "a b c d"
+    # span still covers the raw inner region
+    assert spans[0]["start"] == 3
+
+
+# --- full case battery (golden contract, core_test.clj:3225-3228 analog) ----
+
+@pytest.mark.parametrize("case,expect_text,expect_nb", [
+    (0, PROSE, 1),
+    (1, PROSE, 3),
+    (2, PROSE + "\n" + PROSE, 5),
+    (3, PROSE, 1),
+    (4, PROSE, 1),
+    (5, "", 2),
+    (6, "", 0),
+])
+def test_payload_case_battery(case, expect_text, expect_nb):
+    text, spans, nb = run_one(build_payload(PROSE, case))
+    assert text == expect_text
+    assert nb == expect_nb
+
+
+def test_scores_matrix_shape_and_bounds():
+    protos, _, _ = taught_prototypes()
+    feats = np.stack([block_features(NAV), block_features(PROSE)])
+    s = match_scores(feats, protos)
+    assert s.shape == (2, protos.shape[0])
+    assert (s <= 100.0).all() and (s >= 0.0).all()

@@ -1,0 +1,82 @@
+"""Golden pipeline tests: Spark engine vs the independent pandas oracle
+on the seeded skewed corpus, plus invariance under repartitioning — the
+analog of the reference's 2-thread determinism goldens
+(core_test.clj:2696-2748, 3115-3238)."""
+
+import pandas as pd
+import pytest
+
+from ocr_lib_spark.pipeline import assemble_conversations, extract_turns, ordered
+from ocr_lib_spark.sources.synth import generated_transcripts_df, generate_transcripts
+from reference_oracle import extract_frame
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_transcripts(n_convs=60, seed=7)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_pdf):
+    g = extract_frame(corpus_pdf)
+    return g.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _extract(spark, corpus_pdf, **kw):
+    df = generated_transcripts_df(spark, n_convs=60, seed=7)
+    out = ordered(extract_turns(df, **kw)).toPandas()
+    return out.reset_index(drop=True)
+
+
+def test_spark_matches_oracle_text_spans_blocks(spark, corpus_pdf, golden):
+    got = _extract(spark, corpus_pdf)
+    assert len(got) == len(golden)
+    assert (got.conv_id.values == golden.conv_id.values).all()
+    assert (got.turn_idx.values == golden.turn_idx.values).all()
+    assert (got.extracted_text.values == golden.extracted_text.values).all()
+    assert (got.n_blocks.values == golden.n_blocks.values).all()
+    got_spans = [
+        [(s["start"], s["end"], s["label"]) for s in row] for row in got.spans
+    ]
+    assert got_spans == list(golden.spans)
+
+
+def test_invariant_under_partitioning(spark, corpus_pdf):
+    """Same result at 2 and 32 partitions and with repartition disabled —
+    the parallelism-invariance golden (north_rule determinism)."""
+    a = _extract(spark, corpus_pdf, partitions=2)
+    b = _extract(spark, corpus_pdf, partitions=32)
+    c = _extract(spark, corpus_pdf, repartition=False)
+    for other in (b, c):
+        assert (a.extracted_text.values == other.extracted_text.values).all()
+        assert (a.n_blocks.values == other.n_blocks.values).all()
+
+
+def test_conversation_assembly_matches_pandas(spark, corpus_pdf, golden):
+    df = generated_transcripts_df(spark, n_convs=60, seed=7)
+    got = (
+        assemble_conversations(extract_turns(df))
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        golden.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")
+        .agg(
+            conv_text=("extracted_text", lambda s: "\n".join(x for x in s if x != "")),
+            n_turns=("extracted_text", "size"),
+            n_content_turns=("extracted_text", lambda s: int((s != "").sum())),
+        )
+        .reset_index()
+    )
+    assert (got.conv_id.values == exp.conv_id.values).all()
+    assert (got.conv_text.values == exp.conv_text.values).all()
+    assert (got.n_turns.values == exp.n_turns.values).all()
+    assert (got.n_content_turns.values == exp.n_content_turns.values).all()
+
+
+def test_skewed_corpus_has_long_conversations(corpus_pdf):
+    # the Zipf generator must actually produce skew for the salting tests
+    sizes = corpus_pdf.groupby("conv_id").size()
+    assert sizes.max() >= 10 * max(sizes.min(), 1)
