@@ -1,0 +1,161 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_seconds", "value": <sum of headline query secs>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+   "extraction": {"turns": N,
+                  "levels": {"8": {...}, "32": {...}},
+                  "turns_per_sec_low": ..., "turns_per_sec_high": ...,
+                  "scaling_efficiency": thr(4N) / (4 * thr(N))}}
+
+The extraction scaling run is the BASELINE.json north-rule evidence:
+the same corpus extracted at local[N] and local[4N] (sandbox proxy for
+N vs 4N executors), each in a fresh JVM (subprocess), throughput and
+efficiency reported. Headline queries run once at $SPARK_GRAFT_CPUS.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 40),
+     OCR_BENCH_LEVELS (default "8,32").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "40"))
+LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "8,32").split(",")]
+
+HEADLINE = [
+    "extract_text",
+    "conv_assembly",
+    "q1_scan_agg",
+    "bbox_minmax",
+    "top1_argmax",
+    "gap_sessionize",
+    "range_band_join",
+    "region_revenue",
+    "window_agg_5min",
+    "text_stats",
+    "lang_quality",
+    "exact_dedup",
+    "adjacent_jaccard",
+    "minhash_sigs",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh_buckets",
+]
+
+
+def corpus_path() -> str:
+    tag = Path(SF_DIR).name
+    return f"/tmp/ocr_bench_corpus_{tag}_x{REPLICATION}"
+
+
+def build_corpus(spark) -> str:
+    """Deterministic bench corpus: the document-derived transcripts
+    replicated REPLICATION× with distinct conv ids (pure Catalyst —
+    explode a sequence; no driver-side data)."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    path = corpus_path()
+    if Path(path, "_SUCCESS").exists():
+        return path
+    tr = transcripts_from_documents(spark, SF_DIR)
+    big = (
+        tr.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1))))
+        .withColumn("conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string")))
+        .drop("rep")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def extraction_worker(cores: int, path: str) -> None:
+    """Child process: fresh JVM at local[cores]; time the extraction job."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.pipeline import extract_turns
+    from ocr_lib_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-extract-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    df = spark.read.parquet(path)
+    df.count()  # warm the scan metadata
+    t0 = time.monotonic()
+    res = extract_turns(df, partitions=max(cores * 2, 16)).agg(
+        F.count("*").alias("n"), F.sum("n_blocks").alias("nb")
+    ).collect()[0]
+    secs = time.monotonic() - t0
+    print(json.dumps({"turns": res["n"], "secs": secs, "tps": res["n"] / secs}))
+    spark.stop()
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extract-worker":
+        extraction_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    from ocr_lib_spark.session import get_spark
+
+    spark = get_spark(app="bench-main", cores=CPUS, shuffle_partitions=CPUS)
+    path = build_corpus(spark)
+    queries = run_headline(spark)
+    spark.stop()
+
+    levels: dict[str, dict] = {}
+    for cores in LEVELS:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-worker", str(cores), path],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=3600,
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        levels[str(cores)] = json.loads(line)
+
+    lo, hi = str(min(LEVELS)), str(max(LEVELS))
+    ratio = max(LEVELS) / min(LEVELS)
+    eff = levels[hi]["tps"] / (ratio * levels[lo]["tps"]) if len(LEVELS) > 1 else None
+    result = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": Path(SF_DIR).name,
+        "extraction": {
+            "turns": levels[hi]["turns"],
+            "levels": levels,
+            "turns_per_sec_low": round(levels[lo]["tps"], 1),
+            "turns_per_sec_high": round(levels[hi]["tps"], 1),
+            "parallelism_low": min(LEVELS),
+            "parallelism_high": max(LEVELS),
+            "scaling_efficiency": round(eff, 3) if eff is not None else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

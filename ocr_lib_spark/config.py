@@ -33,6 +33,11 @@ class ExtractionConfig:
     #: accepts (the "*" of core.clj:1628-1634). ``None`` drops silently.
     unknown_placeholder: str | None = None
 
+    #: max raw snippets of unclassifiable blocks exported per turn into
+    #: the ``unknown_blocks`` column — the unknown-sign crop export with
+    #: its LIMIT (draw-sign core.clj:1071-1133; cap core.clj:1634-1672).
+    unknown_export_limit: int = 1
+
     #: labels whose blocks contribute to the extracted main content
     #: (the taught-alphabet "keep" set; FIXTURES.md §2).
     keep_labels: tuple[str, ...] = ("content", "code", "blob", "tool_output")

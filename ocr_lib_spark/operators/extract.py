@@ -76,9 +76,11 @@ def extract_batch(
     out_text: list[str] = []
     out_spans: list[list[dict]] = []
     out_nblocks: list[int] = []
+    out_unknown: list[list[str]] = []
 
     for ri, blocks in enumerate(per_row_blocks):
         kept: list[tuple[int, int, int, int, str, str]] = []
+        unknown_export: list[str] = []
         # (start, end, inner_start, inner_end, label, text)
         for bi, b in enumerate(blocks):
             txt = texts[ri][bi]
@@ -91,6 +93,10 @@ def extract_batch(
             else:
                 continue  # noise floor: below min_block_chars
             if label == "unknown":
+                # crop export analog: raw source of the unclassifiable
+                # block, capped per turn (core.clj:1634-1672)
+                if len(unknown_export) < cfg.unknown_export_limit:
+                    unknown_export.append(b.raw)
                 if cfg.unknown_placeholder is not None:
                     kept.append(
                         (b.start, b.end, b.inner_start, b.inner_end, "unknown",
@@ -117,11 +123,13 @@ def extract_batch(
             [{"start": int(m[2]), "end": int(m[3]), "label": m[4]} for m in merged]
         )
         out_nblocks.append(len(blocks))
+        out_unknown.append(unknown_export)
 
     return pd.DataFrame(
         {
             "extracted_text": pd.Series(out_text, index=payloads.index, dtype=object),
             "spans": pd.Series(out_spans, index=payloads.index, dtype=object),
             "n_blocks": pd.Series(out_nblocks, index=payloads.index, dtype="int32"),
+            "unknown_blocks": pd.Series(out_unknown, index=payloads.index, dtype=object),
         }
     )

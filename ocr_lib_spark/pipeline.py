@@ -48,6 +48,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("extracted_text", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
         T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("unknown_blocks", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -77,6 +78,7 @@ def extract_turns(
             out["extracted_text"] = res["extracted_text"].values
             out["spans"] = res["spans"].values
             out["n_blocks"] = res["n_blocks"].values
+            out["unknown_blocks"] = res["unknown_blocks"].values
             yield out
 
     src = df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text")

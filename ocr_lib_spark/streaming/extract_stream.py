@@ -50,8 +50,12 @@ def extract_stream(transcripts: DataFrame, cfg: ExtractionConfig = DEFAULT_CONFI
             out["extracted_text"] = res["extracted_text"].values
             out["spans"] = res["spans"].values
             out["n_blocks"] = res["n_blocks"].values
+            out["unknown_blocks"] = res["unknown_blocks"].values
             yield out[
-                ["conv_id", "turn_idx", "role", "extracted_text", "spans", "n_blocks", "ts"]
+                [
+                    "conv_id", "turn_idx", "role", "extracted_text",
+                    "spans", "n_blocks", "unknown_blocks", "ts",
+                ]
             ]
 
     return transcripts.mapInPandas(run, schema=schema)

@@ -106,10 +106,11 @@ def extract_one(
     min_block_chars: int = 3,
     keep_labels=("content", "code", "blob", "tool_output"),
     unknown_placeholder=None,
+    unknown_export_limit=1,
 ):
-    """-> (extracted_text, spans [(start, end, label)], n_blocks)."""
+    """-> (extracted_text, spans [(start, end, label)], n_blocks, unknown_blocks)."""
     if not isinstance(payload, str) or not payload.strip():
-        return "", [], 0
+        return "", [], 0, []
 
     # decode: tool wrapper
     if re.match(r'^\s*\{\s*"tool_call"', payload):
@@ -119,7 +120,7 @@ def extract_one(
             e = e if e >= 0 else len(payload)
             inner = payload[m.end() : e]
             if not inner.strip():
-                return "", [], 0
+                return "", [], 0, []
             segs = [(s + m.end(), t + m.end(), a + m.end(), b + m.end(), r)
                     for (s, t, a, b, r) in _segment(inner)]
         else:
@@ -135,11 +136,12 @@ def extract_one(
             except Exception:
                 blob = None
         if blob is not None:
-            return blob[2], [(blob[0], blob[1], "blob")], 1
+            return blob[2], [(blob[0], blob[1], "blob")], 1, []
         segs = _segment(payload)
 
     protos = _prototypes()
     kept = []
+    unknowns = []
     for (s, t, a, b, raw) in segs:
         vis = _vis(raw)
         if len(vis) < min_block_chars:
@@ -151,6 +153,8 @@ def extract_one(
             if score > best_score:  # strictly greater: first wins ties
                 best_label, best_keep, best_score = label, keepf, score
         if best_score <= match_threshold:
+            if len(unknowns) < unknown_export_limit:
+                unknowns.append(raw)
             if unknown_placeholder is not None:
                 kept.append((s, t, a, b, "unknown", unknown_placeholder))
             continue
@@ -167,7 +171,7 @@ def extract_one(
 
     text = "\n".join(m[5] for m in merged)
     spans = [(m[2], m[3], m[4]) for m in merged]
-    return text, spans, len(segs)
+    return text, spans, len(segs), unknowns
 
 
 def extract_frame(pdf):
@@ -176,8 +180,12 @@ def extract_frame(pdf):
 
     recs = []
     for _, r in pdf.iterrows():
-        text, spans, nb = extract_one(r["text"])
-        recs.append((r["conv_id"], r["turn_idx"], text, spans, nb))
+        text, spans, nb, unk = extract_one(r["text"])
+        recs.append((r["conv_id"], r["turn_idx"], text, spans, nb, unk))
     return pd.DataFrame(
-        recs, columns=["conv_id", "turn_idx", "extracted_text", "spans", "n_blocks"]
+        recs,
+        columns=[
+            "conv_id", "turn_idx", "extracted_text", "spans", "n_blocks",
+            "unknown_blocks",
+        ],
     )

@@ -35,7 +35,10 @@ def con():
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     names = [f.name for f in df.schema.fields]
-    assert names == ["conv_id", "turn_idx", "role", "extracted_text", "spans", "n_blocks"]
+    assert names == [
+        "conv_id", "turn_idx", "role", "extracted_text", "spans", "n_blocks",
+        "unknown_blocks",
+    ]
     assert df.count() > 0
 
 

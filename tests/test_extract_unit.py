@@ -31,6 +31,17 @@ def run_one(payload, cfg=ExtractionConfig()):
     return out.extracted_text[0], out.spans[0], int(out.n_blocks[0])
 
 
+def test_unknown_block_export_capped():
+    cfg = ExtractionConfig(match_threshold=100.0, unknown_export_limit=1)
+    p = f"<p>{PROSE}</p>{LINKFARM}<p>{PROSE} extra words here</p>"
+    out = extract_batch(pd.Series([p]), cfg)
+    assert out.unknown_blocks[0] == [f"<p>{PROSE}</p>"]  # capped at 1, first wins
+
+    cfg2 = ExtractionConfig(match_threshold=100.0, unknown_export_limit=10)
+    out2 = extract_batch(pd.Series([p]), cfg2)
+    assert len(out2.unknown_blocks[0]) == 3  # both paragraphs + link farm
+
+
 # --- degenerate inputs (nil-guard analog, core.clj:210-239) ------------------
 
 @pytest.mark.parametrize("payload", [None, "", "   ", " \t\n ", 42, 3.14])

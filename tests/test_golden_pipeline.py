@@ -39,6 +39,7 @@ def test_spark_matches_oracle_text_spans_blocks(spark, corpus_pdf, golden):
         [(s["start"], s["end"], s["label"]) for s in row] for row in got.spans
     ]
     assert got_spans == list(golden.spans)
+    assert [list(u) for u in got.unknown_blocks] == list(golden.unknown_blocks)
 
 
 def test_invariant_under_partitioning(spark, corpus_pdf):
