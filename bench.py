@@ -29,7 +29,9 @@ from pathlib import Path
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "40"))
+#: replication for the scaling corpus — sized so extraction compute
+#: (~80 CPU-seconds at 1M turns) dominates fixed job overhead
+REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "200"))
 LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "8,32").split(",")]
 
 HEADLINE = [
@@ -80,7 +82,9 @@ def build_corpus(spark) -> str:
 
 
 def extraction_worker(cores: int, path: str) -> None:
-    """Child process: fresh JVM at local[cores]; time the extraction job."""
+    """Child process: fresh JVM at local[cores]; time the steady-state
+    extraction job (python workers + codegen warmed on a 1% sample so
+    the measurement is throughput, not process-spawn latency)."""
     from pyspark.sql import functions as F
 
     from ocr_lib_spark.pipeline import extract_turns
@@ -88,7 +92,9 @@ def extraction_worker(cores: int, path: str) -> None:
 
     spark = get_spark(app=f"bench-extract-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     df = spark.read.parquet(path)
-    df.count()  # warm the scan metadata
+    extract_turns(df.sample(0.01, seed=1), partitions=max(cores, 8)).agg(
+        F.count("*")
+    ).collect()  # warm-up: spawn python workers, JIT codegen, shuffle machinery
     t0 = time.monotonic()
     res = extract_turns(df, partitions=max(cores * 2, 16)).agg(
         F.count("*").alias("n"), F.sum("n_blocks").alias("nb")
@@ -100,6 +106,16 @@ def extraction_worker(cores: int, path: str) -> None:
 
 def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.pipeline import extract_turns
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    # warm python workers once so the first pandas-UDF query isn't
+    # charged the spawn cost
+    extract_turns(
+        transcripts_from_documents(spark, SF_DIR).limit(512), repartition=False
+    ).agg(F.count("*")).collect()
 
     qs = entry_mod.queries()
     out: dict[str, float] = {}

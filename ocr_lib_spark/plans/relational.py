@@ -141,33 +141,66 @@ FROM g GROUP BY user_id
 # --- equi-join buckets, filter exact band; never a cross join ---------------
 
 def _band_join(spark, sf_dir):
+    """Exact band count without materializing matched pairs (which is
+    O(|orders| x band density) — 100M+ rows at sf0.1):
+
+      1. pre-aggregate lineitem to per-day counts (tiny -> broadcast);
+      2. days fully inside [start, end) contribute their daily count;
+      3. only *partial* boundary days (non-midnight band edges) fall
+         back to a row-level join — empty for midnight-aligned data.
+
+    The same decomposition at 100 TB: the daily rollup is a reusable
+    materialization; the heavy fact table is scanned once.
+    """
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
+    start = F.col("o_orderdate")
+    end = F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")
+
+    daily = F.broadcast(
+        l.groupBy(F.date_trunc("DAY", "l_shipdate").alias("d")).agg(
+            F.count("*").alias("day_cnt")
+        )
+    )
     ob = o.select(
         "o_orderkey",
         "o_orderdate",
         F.explode(
             F.sequence(
-                F.date_trunc("DAY", "o_orderdate"),
-                F.date_trunc("DAY", F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")),
+                F.date_trunc("DAY", start),
+                F.date_trunc("DAY", end - F.expr("INTERVAL 1 MICROSECOND")),
                 F.expr("INTERVAL 1 DAY"),
             )
         ).alias("d"),
+    ).withColumn(
+        "full_day",
+        (F.col("d") >= start) & (F.col("d") + F.expr("INTERVAL 1 DAY") <= end),
+    )
+
+    full_cnt = (
+        ob.where("full_day")
+        .join(daily, "d", "left")
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.coalesce("day_cnt", F.lit(0))).alias("c_full"))
     )
     lb = l.select(F.date_trunc("DAY", "l_shipdate").alias("d"), "l_shipdate")
-    hits = (
-        ob.join(lb, "d")
-        .where(
-            (F.col("l_shipdate") >= F.col("o_orderdate"))
-            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
-        )
+    partial_cnt = (
+        ob.where(~F.col("full_day"))
+        .join(lb, "d")
+        .where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
         .groupBy("o_orderkey")
-        .agg(F.count("*").alias("n_in_band"))
+        .agg(F.count("*").alias("c_part"))
     )
     return (
         o.select("o_orderkey")
-        .join(hits, "o_orderkey", "left")
-        .select("o_orderkey", F.coalesce("n_in_band", F.lit(0)).alias("n_in_band"))
+        .join(full_cnt, "o_orderkey", "left")
+        .join(partial_cnt, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            (F.coalesce("c_full", F.lit(0)) + F.coalesce("c_part", F.lit(0))).alias(
+                "n_in_band"
+            ),
+        )
     )
 
 
