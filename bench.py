@@ -13,9 +13,20 @@ the same corpus extracted at local[N] and local[4N] (sandbox proxy for
 N vs 4N executors), each in a fresh JVM (subprocess), throughput and
 efficiency reported. Headline queries run once at $SPARK_GRAFT_CPUS.
 
+Levels default to 4 and 16 on this 32-core box so the 4N level still
+leaves headroom for the JVM's own service threads (GC, shuffle, Netty,
+Arrow writers) — exactly like a real cluster, where executors never
+claim every host core. local[32] on a 32-core host co-schedules those
+service threads with all worker cores and measures host saturation,
+not pipeline scalability (both levels' numbers are in BENCH/BASELINE.md).
+Each level reports best-of-OCR_BENCH_REPS steady-state runs (python
+workers + codegen pre-warmed), for both the no-shuffle path (balanced
+input, production default) and the forced salted-repartition path
+(skewed-input mode).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 40),
-     OCR_BENCH_LEVELS (default "8,32").
+     SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 200),
+     OCR_BENCH_LEVELS (default "4,16"), OCR_BENCH_REPS (default 3).
 """
 
 from __future__ import annotations
@@ -32,7 +43,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: replication for the scaling corpus — sized so extraction compute
 #: (~80 CPU-seconds at 1M turns) dominates fixed job overhead
 REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "200"))
-LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "8,32").split(",")]
+LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "4,16").split(",")]
+REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
 
 HEADLINE = [
     "extract_text",
@@ -83,24 +95,46 @@ def build_corpus(spark) -> str:
 
 def extraction_worker(cores: int, path: str) -> None:
     """Child process: fresh JVM at local[cores]; time the steady-state
-    extraction job (python workers + codegen warmed on a 1% sample so
-    the measurement is throughput, not process-spawn latency)."""
+    extraction job (python workers + codegen warmed on a 2% sample so
+    the measurement is throughput, not process-spawn latency). Reports
+    best-of-REPS for both the balanced-input path (no shuffle) and the
+    skewed-input path (forced salted repartition)."""
     from pyspark.sql import functions as F
 
     from ocr_lib_spark.pipeline import extract_turns
     from ocr_lib_spark.session import get_spark
 
-    spark = get_spark(app=f"bench-extract-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(app=f"bench-extract-{cores}", cores=cores, shuffle_partitions=cores)
     df = spark.read.parquet(path)
-    extract_turns(df.sample(0.01, seed=1), partitions=max(cores, 8)).agg(
+    extract_turns(df.sample(0.02, seed=1), partitions=cores).agg(
         F.count("*")
     ).collect()  # warm-up: spawn python workers, JIT codegen, shuffle machinery
-    t0 = time.monotonic()
-    res = extract_turns(df, partitions=max(cores * 2, 16)).agg(
-        F.count("*").alias("n"), F.sum("n_blocks").alias("nb")
-    ).collect()[0]
-    secs = time.monotonic() - t0
-    print(json.dumps({"turns": res["n"], "secs": secs, "tps": res["n"] / secs}))
+
+    def timed(repartition) -> tuple[int, float]:
+        best, n = None, 0
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            res = extract_turns(df, partitions=cores, repartition=repartition).agg(
+                F.count("*").alias("n"), F.sum("n_blocks").alias("nb")
+            ).collect()[0]
+            secs = time.monotonic() - t0
+            n = res["n"]
+            best = secs if best is None else min(best, secs)
+        return n, best
+
+    n, secs = timed("auto")
+    _, secs_shuffle = timed(True)
+    print(
+        json.dumps(
+            {
+                "turns": n,
+                "secs": secs,
+                "tps": n / secs,
+                "secs_salted_shuffle": secs_shuffle,
+                "tps_salted_shuffle": n / secs_shuffle,
+            }
+        )
+    )
     spark.stop()
 
 
@@ -154,6 +188,11 @@ def main() -> None:
     lo, hi = str(min(LEVELS)), str(max(LEVELS))
     ratio = max(LEVELS) / min(LEVELS)
     eff = levels[hi]["tps"] / (ratio * levels[lo]["tps"]) if len(LEVELS) > 1 else None
+    eff_shuffle = (
+        levels[hi]["tps_salted_shuffle"] / (ratio * levels[lo]["tps_salted_shuffle"])
+        if len(LEVELS) > 1
+        else None
+    )
     result = {
         "metric": "total_bench_seconds",
         "value": round(sum(queries.values()), 3),
@@ -168,6 +207,9 @@ def main() -> None:
             "parallelism_low": min(LEVELS),
             "parallelism_high": max(LEVELS),
             "scaling_efficiency": round(eff, 3) if eff is not None else None,
+            "scaling_efficiency_salted_shuffle": (
+                round(eff_shuffle, 3) if eff_shuffle is not None else None
+            ),
         },
     }
     print(json.dumps(result))

@@ -56,6 +56,18 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Affine minhash family constants (Kirsch-Mitzenmacher style): one
+#: expensive base hash per shingle, n cheap affine recombinations
+#: h_i = (A_i·x_lo + B_i·x_hi + C_i) mod P. Products stay < 2^60 so the
+#: arithmetic is exact int64 in both Spark and the DuckDB oracle (which
+#: errors on overflow — the constants are sized for that contract).
+MINHASH_A = [788455883, 894818247, 153204545, 410930883, 511101823, 626284755, 969583393, 142946401]
+MINHASH_B = [308201859, 587225963, 252971131, 931847323, 823367797, 676943273, 394840923, 556851369]
+MINHASH_C = [601313247, 980529077, 140441297, 813843031, 434687933, 297594491, 722395633, 188136679]
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+_M30 = (1 << 30) - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -65,17 +77,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-min-hash signature per document.
 
-    h_i(doc) = min over shingles s of H(s || '#' || i), with H the
-    md5-prefix integer hash (cross-engine deterministic). Computed by
-    exploding distinct shingles once and taking n_hashes mins in ONE
-    aggregation (map-side partial aggregation keeps the shuffle narrow:
-    n_docs × n_hashes longs, independent of document length)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("sh"))
-        .distinct()
+    One md5-prefix base hash per shingle (cross-engine deterministic),
+    then n_hashes affine recombinations over its 30-bit halves —
+    8× fewer digest computations than hashing (shingle, i) pairs, same
+    minhash guarantees (pairwise-independent family mod 2^61-1).
+    No pre-DISTINCT: MIN is idempotent over duplicate shingles, so the
+    explode feeds the aggregate directly and map-side partial
+    aggregation keeps the shuffle at n_docs × n_hashes longs,
+    independent of document length."""
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"n_hashes > {len(MINHASH_A)} needs more family constants")
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("sh")
     )
+    x = stable_hash64(F.col("sh"))
+    x_lo = x.bitwiseAND(F.lit(_M30))
+    x_hi = F.shiftright(x, 30)
     aggs = [
-        F.min(stable_hash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * x_lo + F.lit(MINHASH_B[i]) * x_hi + F.lit(MINHASH_C[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

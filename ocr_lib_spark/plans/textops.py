@@ -127,20 +127,24 @@ FROM documents GROUP BY md5(text)
 # --- verification kernel 100*|∩|/|∪|, core.clj:1039-1050) --------------------
 
 def _adjacent_jaccard(spark, sf_dir):
+    # Join the (narrow) texts first, shingle once per side inside a
+    # single projection, and derive jaccard from the already-projected
+    # counts — joining pre-shingled fat arrays shuffles ~200× more bytes
+    # and recomputes the intersect/union expressions in the ratio.
     d = _docs(spark, sf_dir)
-    a = d.select(F.col("doc_id").alias("id_a"), char_shingles(F.col("text"), SHINGLE_K).alias("sa"))
-    b = d.select(F.col("doc_id").alias("id_b"), char_shingles(F.col("text"), SHINGLE_K).alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    sa = char_shingles(F.col("ta"), SHINGLE_K)
+    sb = char_shingles(F.col("tb"), SHINGLE_K)
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
         .select(
             "id_a",
             "id_b",
-            inter.cast("long").alias("n_inter"),
-            union.cast("long").alias("n_union"),
-            (inter / union).alias("jaccard"),
+            F.size(F.array_intersect(sa, sb)).cast("long").alias("n_inter"),
+            F.size(F.array_union(sa, sb)).cast("long").alias("n_union"),
         )
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
     )
 
 
@@ -167,19 +171,25 @@ def _minhash(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
-    mins = ",\n       ".join(
-        f"MIN(('0x' || substr(md5(sh || '#{i}'), 1, 15))::BIGINT) AS h{i}"
+def _minhash_sql_mins() -> str:
+    from ocr_lib_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_C, MINHASH_P
+
+    return ",\n       ".join(
+        f"MIN(({MINHASH_A[i]} * (x & 1073741823) + {MINHASH_B[i]} * (x >> 30)"
+        f" + {MINHASH_C[i]}) % {MINHASH_P}) AS h{i}"
         for i in range(N_HASHES)
     )
+
+
+def _minhash_oracle() -> str:
     return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, s AS sh FROM (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS x FROM (
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
                                                i -> substring(text, i, {SHINGLE_K})))) AS s
     FROM documents))
-SELECT doc_id, {mins}
+SELECT doc_id, {_minhash_sql_mins()}
 FROM sh GROUP BY doc_id
 """
 
@@ -198,14 +208,13 @@ def _lsh_pairs_oracle() -> str:
     )
     return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, s AS sh FROM (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS x FROM (
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
                                                i -> substring(text, i, {SHINGLE_K})))) AS s
     FROM documents)),
 sig AS (
-  SELECT doc_id,
-         {", ".join(f"MIN(('0x' || substr(md5(sh || '#{i}'), 1, 15))::BIGINT) AS h{i}" for i in range(N_HASHES))}
+  SELECT doc_id, {_minhash_sql_mins()}
   FROM sh GROUP BY doc_id),
 bands AS ({bands})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

