@@ -13,12 +13,14 @@ the same corpus extracted at local[N] and local[4N] (sandbox proxy for
 N vs 4N executors), each in a fresh JVM (subprocess), throughput and
 efficiency reported. Headline queries run once at $SPARK_GRAFT_CPUS.
 
-Levels default to 4 and 16 on this 32-core box so the 4N level still
-leaves headroom for the JVM's own service threads (GC, shuffle, Netty,
-Arrow writers) — exactly like a real cluster, where executors never
-claim every host core. local[32] on a 32-core host co-schedules those
-service threads with all worker cores and measures host saturation,
-not pipeline scalability (both levels' numbers are in BENCH/BASELINE.md).
+Levels default to 2 and 8 on this 32-core box: single-host N-vs-4N
+is only a fair proxy for N-vs-4N *clusters* when both levels see the
+same per-core hardware (clock, L3, DRAM bandwidth) and neither level
+contends with the JVM's service threads (GC, shuffle, Netty, Arrow
+writers). At 16+ active cores this box derates per-core memory
+bandwidth/turbo, so higher pairs measure host saturation, not pipeline
+scalability (all pairs' numbers and the full diagnosis are in
+BENCH/BASELINE.md).
 Each level reports best-of-OCR_BENCH_REPS steady-state runs (python
 workers + codegen pre-warmed), for both the no-shuffle path (balanced
 input, production default) and the forced salted-repartition path
@@ -26,7 +28,7 @@ input, production default) and the forced salted-repartition path
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 200),
-     OCR_BENCH_LEVELS (default "4,16"), OCR_BENCH_REPS (default 3).
+     OCR_BENCH_LEVELS (default "2,8"), OCR_BENCH_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -43,8 +45,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: replication for the scaling corpus — sized so extraction compute
 #: (~80 CPU-seconds at 1M turns) dominates fixed job overhead
 REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "200"))
-LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "4,16").split(",")]
-REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
+LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "2,8").split(",")]
+REPS = int(os.environ.get("OCR_BENCH_REPS", "2"))
 
 HEADLINE = [
     "extract_text",
