@@ -46,6 +46,20 @@ class ExtractionConfig:
     #: (reference: "\n" per row, core.clj:1687-1689).
     block_separator: str = "\n"
 
+    #: over-merged block splitting (the citaj sliding-window analog,
+    #: core_helper.clj:324-361): a block whose visible text exceeds this
+    #: many chars is split at line/sentence boundaries into units that
+    #: classify independently (reference: segments <37 px classify
+    #: directly, wider ones get the window split). ``None`` disables —
+    #: the production read-image-fn path (core.clj:1772-1806) does not
+    #: split; splitting is the dev-pipeline reader's behavior.
+    split_max_chars: int | None = None
+
+    #: units with fewer visible chars than this are skipped as sub-glyph
+    #: noise during block splitting (reference: skip segments <8 px,
+    #: core_helper.clj:333-335).
+    split_min_unit_chars: int = 8
+
     #: number of hash buckets for checkpoint/lineage partitioning.
     lineage_buckets: int = 32
 

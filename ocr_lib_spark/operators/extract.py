@@ -19,7 +19,7 @@ import pandas as pd
 from ocr_lib_spark.config import DEFAULT_CONFIG, ExtractionConfig
 from ocr_lib_spark.operators.features import block_features, classify, visible_text
 from ocr_lib_spark.operators.prototypes import taught_prototypes
-from ocr_lib_spark.operators.tokenizer import Block, segment_payload
+from ocr_lib_spark.operators.tokenizer import Block, segment_payload, split_block_units
 
 
 def _block_text(b: Block) -> str:
@@ -56,6 +56,22 @@ def extract_batch(
 
     for ri, payload in enumerate(payloads.astype(object)):
         blocks = segment_payload(payload) if isinstance(payload, str) else []
+        if cfg.split_max_chars is not None:
+            # citaj analog (core_helper.clj:324-361): over-merged blocks
+            # split into line/sentence units classified independently;
+            # same-label neighbors re-merge in the attach-gap pass below.
+            expanded: list[Block] = []
+            for b in blocks:
+                if (
+                    b.forced_label is None
+                    and len(visible_text(b.raw)) > cfg.split_max_chars
+                ):
+                    expanded.extend(
+                        split_block_units(b, cfg.split_min_unit_chars) or [b]
+                    )
+                else:
+                    expanded.append(b)
+            blocks = expanded
         per_row_blocks.append(blocks)
         texts.append([_block_text(b) for b in blocks])
         for bi, b in enumerate(blocks):

@@ -121,3 +121,43 @@ def segment_payload(payload: str) -> list[Block]:
             ]
         # fall through: not valid base64 -> treat as text
     return _html_blocks(payload, 0)
+
+
+#: unit boundaries inside an over-merged block: explicit line breaks,
+#: <br> tags, or sentence-final punctuation followed by whitespace —
+#: the whitespace-valley analog of the projection-profile glyph split
+#: (odredi-oblast-slova core_helper.clj:415-444).
+UNIT_BOUNDARY_RE = re.compile(r"<br\s*/?>|\n+|(?<=[.!?])\s+", re.I)
+
+
+def split_block_units(block: Block, min_unit_chars: int = 8) -> list[Block]:
+    """Split one over-merged block into classification units.
+
+    The citaj analog (core_helper.clj:324-361): the reference slides a
+    window over a too-wide segment of touching glyphs and advances by
+    the matched glyph width; units narrower than 8 px are skipped. Here
+    a block whose markup gave the segmenter no inner boundaries is split
+    at line/sentence boundaries into units that are classified
+    independently (classify-then-merge — the vectorized equivalent of
+    greedy match-advance: same-label neighbors re-merge in assembly),
+    and units with fewer than ``min_unit_chars`` visible chars are
+    skipped as sub-glyph noise.
+
+    Offsets of every unit index the ORIGINAL payload string, exactly
+    like the parent block's.
+    """
+    rel0 = block.inner_start - block.start
+    rel1 = block.inner_end - block.start
+    inner = block.raw[rel0:rel1]
+    units: list[Block] = []
+    pos = 0
+    bounds = [(m.start(), m.end()) for m in UNIT_BOUNDARY_RE.finditer(inner)]
+    bounds.append((len(inner), len(inner)))
+    for bstart, bend in bounds:
+        seg = inner[pos:bstart]
+        if seg.strip():
+            a = block.inner_start + pos
+            b = block.inner_start + bstart
+            units.append(Block(a, b, a, b, seg))
+        pos = bend
+    return [u for u in units if len(" ".join(u.raw.split())) >= min_unit_chars]

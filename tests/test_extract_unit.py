@@ -178,3 +178,54 @@ def test_scores_matrix_shape_and_bounds():
     s = match_scores(feats, protos)
     assert s.shape == (2, protos.shape[0])
     assert (s <= 100.0).all() and (s >= 0.0).all()
+
+
+# --- citaj sliding-window analog: over-merged block splitting ---------------
+# (core_helper.clj:324-361: segments <37 px classify directly, wider ones
+#  get the window split; segments <8 px are skipped)
+
+def _fused_payload():
+    nav = " | ".join(f'<a href="/{w}">{w}</a>' for w in
+                     ["home", "about", "login", "privacy", "terms", "careers"])
+    content = ("The merge scan walks both sorted runs and unions overlapping "
+               "spans into one component batch value row.")
+    return f"<div>{nav}.\n{content}\n{nav}</div>", content
+
+
+def test_split_merged_blocks_recovers_fused_content():
+    payload, content = _fused_payload()
+    # default (production read-image-fn path): no splitting — the fused
+    # block classifies whole as link-heavy and is dropped
+    text0, spans0, nb0 = run_one(payload)
+    assert text0 == "" and nb0 == 1
+    # with the citaj knob on: nav units dropped, content unit recovered
+    text1, spans1, nb1 = run_one(payload, ExtractionConfig(split_max_chars=120))
+    assert text1 == content
+    assert nb1 == 3
+    assert len(spans1) == 1
+    s = spans1[0]
+    assert payload[s["start"]:s["end"]] == content
+    assert s["label"] == "content"
+
+
+def test_split_units_below_min_chars_skipped():
+    payload, content = _fused_payload()
+    # huge min-unit floor: every unit is "sub-glyph" noise -> fall back
+    # to the unsplit block (never lose the block entirely)
+    text, spans, nb = run_one(
+        payload, ExtractionConfig(split_max_chars=120, split_min_unit_chars=500)
+    )
+    assert nb == 1
+
+
+def test_split_noop_when_block_under_threshold():
+    # short blocks classify directly (reference: <37 px)
+    text, spans, nb = run_one(PROSE, ExtractionConfig(split_max_chars=10_000))
+    assert text == PROSE and nb == 1
+
+
+def test_split_degenerate_inputs():
+    cfg = ExtractionConfig(split_max_chars=50)
+    out = extract_batch(pd.Series([None, "", "   "]), cfg)
+    assert list(out.extracted_text) == ["", "", ""]
+    assert list(out.n_blocks) == [0, 0, 0]
