@@ -171,10 +171,15 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lsh_bits: int = 8,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: coordinate-hyperplane LSH bucket
     (sign of the first n bits) prunes candidates, exact cosine verifies.
-    At corpus scale the bucket join replaces the quadratic cross join."""
+    At corpus scale the bucket join replaces the quadratic cross join.
+
+    ``round_decimals`` rounds the cosine BEFORE thresholding (and in the
+    output) so cross-engine summation-order ulps can't flip membership
+    of pairs sitting exactly on the threshold."""
     withb = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -188,6 +193,9 @@ def embedding_near_dup(
     )
     na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cosine = dot / (na * nb)
+    if round_decimals is not None:
+        cosine = F.round(cosine, round_decimals)
     return (
         a.join(
             b,
@@ -197,7 +205,7 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (na * nb)).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -382,6 +382,183 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- as-of join: each click matched to the latest view at-or-before it ------
+# (the previous-sign x-max lag threading generalized: core.clj:1610-1621 —
+#  "most recent earlier element" semantics. Spark has no ASOF JOIN; the
+#  scalable recast is union + one window pass: ONE shuffle on user_id,
+#  no range join, no per-row lookup. DuckDB oracle uses window SQL with
+#  the identical pinned tie order, not ASOF, so tie semantics are pinned
+#  explicitly: views sort before clicks at equal ts; later event_id wins
+#  among equal-ts views.)
+
+def _asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    is_view = (F.col("event_type") == "view").alias("is_view")
+    t = ev.select("event_id", "user_id", "ts", "event_type", is_view)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_view").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.last(F.when(F.col("is_view"), F.col("event_id")), ignorenulls=True).over(w)
+    view_ts = F.last(F.when(F.col("is_view"), F.col("ts")), ignorenulls=True).over(w)
+    return (
+        t.withColumn("view_event_id", view_id)
+        .withColumn("view_ts", view_ts)
+        .where(~F.col("is_view"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "view_event_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("view_ts").cast("timestamp"))
+            ).alias("lag_us"),
+        )
+    )
+
+
+_O_ASOF = """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type = 'view' AS is_view
+  FROM events WHERE event_type IN ('view', 'click')),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN is_view THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_view DESC, event_id
+                 ROWS UNBOUNDED PRECEDING) AS view_event_id,
+         last_value(CASE WHEN is_view THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_view DESC, event_id
+                 ROWS UNBOUNDED PRECEDING) AS view_ts
+  FROM t)
+SELECT event_id AS click_id, user_id, ts AS click_ts, view_event_id,
+       epoch_us(ts) - epoch_us(view_ts) AS lag_us
+FROM w WHERE NOT is_view
+"""
+
+
+# --- rollup / cube (hierarchical subtotal aggregation; absent in the
+# --- reference — SURVEY.md §2.3 "not present", provided as built-ins) --------
+
+def _rollup_revenue(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id("r_name", "n_name").cast("int").alias("lvl"),
+        )
+    )
+
+
+_O_ROLLUP = """
+SELECT r_name, n_name,
+       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       COUNT(*) AS n_orders,
+       GROUPING(r_name, n_name)::INT AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def _cube_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("int").alias("lvl"),
+        )
+    )
+
+
+_O_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       GROUPING(o_orderstatus, o_orderpriority)::INT AS lvl
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- salted two-phase aggregation (explicit skew handling: divide-rows
+# --- load balancing core.clj:1519-1589 done the Spark way — partial
+# --- aggregate on (key, salt), final aggregate on key; identical result
+# --- to a plain groupBy, bounded per-task state under heavy-hitter keys) -----
+
+def _salted_heavy_hitter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("value"))).alias("pv"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(F.sum("pn").alias("n_events"), F.sum("pv").alias("value_cents"))
+    )
+
+
+_O_SALTED = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+# --- order-statistic percentiles (exact element pick, no interpolation:
+# --- rank = (n-1)*q/100 + 1 in pure integer arithmetic — deterministic
+# --- and bit-identical across engines, unlike interpolated quantiles) --------
+
+def _percentile_pick(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy(F.col("value"), F.col("event_id"))
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    out = None
+    for q in (50, 90, 99):
+        pick = ranked.where(
+            F.col("rnk")
+            == (F.floor(((F.col("n") - 1) * q) / 100) + 1).cast("int")
+        ).select(
+            "event_type", F.lit(q).alias("q"), F.col("value").alias("pick"), "n"
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out
+
+
+_O_PCT = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, q, value AS pick, n
+FROM ranked CROSS JOIN (VALUES (50), (90), (99)) AS qs(q)
+WHERE rnk = ((n - 1) * q) // 100 + 1
+"""
+
+
 QUERIES = {
     "q1_scan_agg": QueryDef(_q1, _O_Q1, "scan+filter+aggregate (core.clj:332-396)"),
     "bbox_minmax": QueryDef(_bbox, _O_BBOX, "grouped 4-way min/max bbox (core.clj:640-685)"),
@@ -394,4 +571,9 @@ QUERIES = {
     "event_run_length": QueryDef(_run_length, _O_RUNLEN, "run-length segmentation (core_helper.clj:395-444)"),
     "event_reindex": QueryDef(_reindex, _O_REINDEX, "stable reading-order window (core.clj:753-785)"),
     "window_agg_5min": QueryDef(_window_5min, _O_WINDOW, "tumbling window agg (core.clj:1135-1192)"),
+    "asof_join": QueryDef(_asof_join, _O_ASOF, "as-of join via union+window, pinned ties (core.clj:1610-1621)"),
+    "rollup_revenue": QueryDef(_rollup_revenue, _O_ROLLUP, "ROLLUP subtotals over region/nation revenue"),
+    "cube_orders": QueryDef(_cube_orders, _O_CUBE, "CUBE over order status x priority"),
+    "salted_heavy_hitter": QueryDef(_salted_heavy_hitter, _O_SALTED, "salted two-phase agg (skew handling, core.clj:1519-1589)"),
+    "percentile_pick": QueryDef(_percentile_pick, _O_PCT, "exact order-statistic percentiles (p50/p90/p99)"),
 }

@@ -93,8 +93,39 @@ SELECT query_id, nlabel AS pred_label, n AS votes FROM (
 """
 
 
+NEAR_DUP_T = 0.30  # synthetic embeddings have no true near-dups (max
+# in-bucket cosine ≈ 0.43); the threshold exercises the semantics on
+# a non-trivial pair set. Production default stays 0.95.
+
+
+def _near_dup(spark, sf_dir):
+    from ocr_lib_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _emb(spark, sf_dir),
+        threshold=NEAR_DUP_T,
+        n_lsh_bits=LSH_BITS,
+        round_decimals=6,
+    )
+
+
+_O_NEAR_DUP = f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(LSH_BITS))})::INT AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_T}
+"""
+
+
 QUERIES = {
     "cosine_topk": QueryDef(_cosine_topk, _O_COSINE, "exact brute-force cosine top-k (broadcast argmax)"),
     "ann_lsh_buckets": QueryDef(_lsh_buckets, _O_LSH_BUCKETS, "sign-bucket LSH histogram (ANN scale path)"),
     "knn_label_vote": QueryDef(_knn_vote, _O_KNN, "kNN majority-vote classification, pinned ties"),
+    "embedding_near_dup": QueryDef(_near_dup, _O_NEAR_DUP, "LSH-bucketed cosine near-dup (bucket prune + exact verify)"),
 }
