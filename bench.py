@@ -66,6 +66,13 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ann_lsh_buckets",
+    "asof_join",
+    "rollup_revenue",
+    "salted_heavy_hitter",
+    "percentile_pick",
+    "token_fingerprints",
+    "embedding_near_dup",
+    "ivf_topk",
 ]
 
 

@@ -102,3 +102,53 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substr(c, i, F.lit(k))))
+
+
+#: BPE-ish pretokenizer pattern (GPT-2 style, lookahead-free so the Java
+#: (Spark) and RE2 (DuckDB) regex engines agree): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pretokens — the subword-cost estimate a training
+    pipeline budgets by (vs whitespace tokens, which undercount code and
+    punctuation-heavy payloads)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+#: Rabin-Karp polynomial rolling-hash parameters. M*B < 2^63 so the
+#: update never overflows int64 in either engine (DuckDB errors on
+#: overflow); B > max codepoint in play keeps grams injective-ish.
+RK_BASE = 257
+RK_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Full-document Rabin-Karp hash: fold c_i into acc*B + c_i mod M —
+    one pass, pure Catalyst (aggregate over the codepoint sequence)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * RK_BASE + F.ascii(ch)) % RK_MOD,
+    )
+
+
+def min_gram_hash(text: Column | str, k: int = 8) -> Column:
+    """Min polynomial hash over all k-grams — the rolling-window
+    fingerprint (winnowing's selection primitive). Short docs (< k
+    chars) hash their whole text. O(n·k) as a Catalyst expression;
+    the O(n) incremental-roll variant lives in the pandas-UDF path if a
+    profile ever demands it (doc payloads are short relative to k)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.split(F.substring(c, i, k), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * RK_BASE + F.ascii(ch)) % RK_MOD,
+    )
+    return F.array_min(F.transform(starts, gram_hash))

@@ -535,16 +535,22 @@ def _percentile_pick(spark, sf_dir):
         F.row_number().over(wr).alias("rnk"),
         F.count("*").over(wp).alias("n"),
     )
-    out = None
-    for q in (50, 90, 99):
-        pick = ranked.where(
-            F.col("rnk")
-            == (F.floor(((F.col("n") - 1) * q) / 100) + 1).cast("int")
-        ).select(
-            "event_type", F.lit(q).alias("q"), F.col("value").alias("pick"), "n"
+    # one scan + one window shuffle for all three percentiles: a row
+    # survives with every q whose target rank it holds (a 3-way union
+    # here would rescan and re-shuffle the fact table 3x)
+    hits = F.filter(
+        F.array(*[F.lit(q) for q in (50, 90, 99)]),
+        lambda q: F.col("rnk")
+        == (F.floor(((F.col("n") - 1) * q.cast("long")) / 100) + 1).cast("int"),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            F.explode(hits).alias("q"),
+            F.col("value").alias("pick"),
+            "n",
         )
-        out = pick if out is None else out.unionByName(pick)
-    return out
+    )
 
 
 _O_PCT = """

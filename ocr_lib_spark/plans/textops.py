@@ -253,8 +253,52 @@ SELECT doc_id, ({fp}) AS simhash_low FROM v
 """
 
 
+# --- BPE-ish token budget + rolling-hash fingerprints ------------------------
+
+def _token_fingerprints(spark, sf_dir):
+    from ocr_lib_spark.functions.text import (
+        bpe_token_count,
+        min_gram_hash,
+        rolling_hash,
+        token_count,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        rolling_hash("text").alias("rk_hash"),
+        min_gram_hash("text", 8).alias("min_gram8"),
+    )
+
+
+def _token_fingerprints_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN, RK_BASE, RK_MOD
+
+    rk = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(split({src}, ''), "
+        f"ch -> ascii(ch)::BIGINT)), (a, x) -> (a * {RK_BASE} + x) % {RK_MOD})"
+    )
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{bpe_sql}')) AS bpe_tokens,
+       {rk.format(src="text")} AS rk_hash,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                i -> {rk.format(src="substring(text, i, 8)")})) AS min_gram8
+FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
+    "token_fingerprints": QueryDef(
+        _token_fingerprints,
+        _token_fingerprints_oracle(),
+        "BPE-ish token budget + Rabin-Karp rolling-hash fingerprints",
+    ),
     "lang_quality": QueryDef(_lang_quality, _O_LANG_QUALITY, "language-ID heuristic + integer quality score"),
     "doc_fingerprint": QueryDef(_fingerprint, _O_FINGERPRINT, "digest fingerprint + stable hash bucket"),
     "exact_dedup": QueryDef(_exact_dedup, _O_EXACT_DEDUP, "exact dedup via hash-groupBy (set semantics, core.clj:341)"),

@@ -123,8 +123,114 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+# --- IVF top-k: coarse quantizer -> inverted-list equi-join -> exact rank ----
+# The corpus-scale ANN path beyond sign-bucket LSH: assignment and probe
+# both join against a small broadcast centroid set; the candidate join is
+# an equi-join on centroid_id (the inverted list), never a cross join.
+# Centroid choice is a deterministic data rule (vec_id % 64 == 1) so the
+# DuckDB twin reproduces it exactly — a trained k-means quantizer would
+# slot into the same plan as a broadcast table.
+
+IVF_NPROBE = 2
+IVF_K = 5
+
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = F.broadcast(
+        e.where(F.col("vec_id") % 64 == 1).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    # assignment: nearest centroid per vector (broadcast NL + argmax)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("acos"), F.asc("centroid_id")
+    )
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("acos", _cos(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wa))
+        .where("rn = 1")
+        .select("vec_id", "v", "centroid_id")
+    )
+    # probes: NPROBE nearest centroids per query vector
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("pcos", _cos(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(f"rn <= {IVF_NPROBE}")
+        .select("query_id", "qv", "centroid_id")
+    )
+    # inverted-list candidates: equi-join on centroid_id, exact rerank
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(f"rank <= {IVF_K}")
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+_DD_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+_O_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 1),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="cent.cv")} DESC, cent.centroid_id) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="cent.cv")} DESC, cent.centroid_id) AS rn
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DD_COS.format(a="p.qv", b="a.v")} AS cosine
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 6) AS cosine_r6
+FROM (SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand)
+WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": QueryDef(_cosine_topk, _O_COSINE, "exact brute-force cosine top-k (broadcast argmax)"),
+    "ivf_topk": QueryDef(_ivf_topk, _O_IVF, "IVF ANN: coarse quantize -> inverted-list join -> exact rerank"),
     "ann_lsh_buckets": QueryDef(_lsh_buckets, _O_LSH_BUCKETS, "sign-bucket LSH histogram (ANN scale path)"),
     "knn_label_vote": QueryDef(_knn_vote, _O_KNN, "kNN majority-vote classification, pinned ties"),
     "embedding_near_dup": QueryDef(_near_dup, _O_NEAR_DUP, "LSH-bucketed cosine near-dup (bucket prune + exact verify)"),
