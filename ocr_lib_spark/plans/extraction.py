@@ -130,58 +130,58 @@ FROM per_turn GROUP BY conv_id
 """
 
 
-def _q_multimodal_meta(spark, sf_dir):
-    """Multimodal plumbing: documents as opaque binary payloads with a
-    deterministic STUB decode (container lacks real image/audio codecs;
-    the Spark plumbing — binary column, Arrow batch shape, mapInPandas
-    signature — is real; the decode kernel is a pinned fake)."""
-    from pyspark.sql import types as T
-
+def _mm_payload(spark, sf_dir):
+    """Documents as opaque binary payloads — the multimodal carrier
+    column (container lacks real codecs; text bytes stand in, which
+    keeps the DuckDB twins exact since payload bytes == UTF-8 text)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("n_bytes", T.IntegerType()),
-            T.StructField("fake_width", T.IntegerType()),
-            T.StructField("fake_height", T.IntegerType()),
-            T.StructField("content_md5", T.StringType()),
-        ]
-    )
 
-    def decode(batches):
-        import hashlib
+def _q_multimodal_meta(spark, sf_dir):
+    from ocr_lib_spark.operators.multimodal import decode_image_meta
 
-        import pandas as pd
-
-        for pdf in batches:
-            raw = pdf["payload"]
-            n = raw.map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int32"),
-                    # STUB decode: dims derived from header byte + length —
-                    # a real build swaps in PIL/ffmpeg here.
-                    "fake_width": (raw.map(lambda b: b[0] % 64) + 1).astype("int32"),
-                    "fake_height": (n % 64 + 1).astype("int32"),
-                    "content_md5": raw.map(lambda b: hashlib.md5(b).hexdigest()),
-                }
-            )
-
-    return payload.mapInPandas(decode, schema=schema)
+    return decode_image_meta(_mm_payload(spark, sf_dir))
 
 
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
        CAST(n_chars AS INT) AS n_bytes,
-       CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
-       CAST(n_chars % 64 + 1 AS INT) AS fake_height,
-       md5(text) AS content_md5
+       CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS width,
+       CAST(n_chars % 64 + 1 AS INT) AS height,
+       md5(text) AS content_md5,
+       'stub' AS decoder
 FROM documents
+"""
+
+
+def _q_multimodal_hist(spark, sf_dir):
+    from ocr_lib_spark.operators.multimodal import byte_histogram
+
+    return byte_histogram(_mm_payload(spark, sf_dir), bins=16)
+
+
+_ORACLE_MM_HIST = """
+SELECT doc_id, CAST(n_chars AS INT) AS n_bytes,
+       list_transform(range(0, 16),
+         b -> len(list_filter(list_transform(split(text, ''), ch -> ascii(ch) // 16),
+                              v -> v = b))::INT) AS hist
+FROM documents
+"""
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from ocr_lib_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_mm_payload(spark, sf_dir), n_frames=4, frame_bytes=32)
+
+
+_ORACLE_MM_FRAMES = """
+SELECT doc_id, CAST(n_chars AS INT) AS n_bytes,
+       CAST(i AS INT) AS frame_idx,
+       CAST(greatest(n_chars - 32, 0) * i // 3 AS INT) AS offset,
+       md5(substring(text, CAST(greatest(n_chars - 32, 0) * i // 3 AS INT) + 1, 32)) AS frame_md5
+FROM documents CROSS JOIN range(0, 4) AS r(i)
 """
 
 
@@ -205,5 +205,15 @@ QUERIES = {
         _q_multimodal_meta,
         _ORACLE_MULTIMODAL,
         "binary payload plumbing w/ stubbed decode (read-base64-image-fn analog, core.clj:190-208)",
+    ),
+    "multimodal_hist": QueryDef(
+        _q_multimodal_hist,
+        _ORACLE_MM_HIST,
+        "byte-histogram feature extraction over binary payloads (numpy bincount per Arrow batch)",
+    ),
+    "multimodal_frames": QueryDef(
+        _q_multimodal_frames,
+        _ORACLE_MM_FRAMES,
+        "evenly-spaced frame sampling + digest over binary payloads (pure Catalyst)",
     ),
 }

@@ -1,0 +1,71 @@
+"""Multimodal binary-column plumbing tests: the decode kernel is a stub
+(no codecs in this container), but the schema, BinaryType carriage,
+Arrow batch shape, and partition invariance are real and pinned here
+(SURVEY.md §2.1 — byte[]-payload decode at every reference entry point,
+core.clj:190-208, 1498-1500)."""
+
+import hashlib
+
+import pytest
+
+from ocr_lib_spark.operators.multimodal import (
+    byte_histogram,
+    decode_image_meta,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (1, b"hello world, a payload of plain bytes"),
+        (2, bytes(range(256))),  # every byte value once
+        (3, b""),  # degenerate: empty payload
+        (4, b"x" * 100),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_meta_schema_and_stub(payloads):
+    out = decode_image_meta(payloads).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2, 3, 4]
+    r1 = out[0]
+    assert r1.n_bytes == len(b"hello world, a payload of plain bytes")
+    assert r1.decoder == "stub"
+    assert r1.content_md5 == hashlib.md5(b"hello world, a payload of plain bytes").hexdigest()
+    # empty payload: dims 0/1, digest of empty bytes, never null
+    r3 = out[2]
+    assert (r3.width, r3.n_bytes) == (0, 0)
+    assert r3.content_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_byte_histogram_exact(payloads):
+    out = {r.doc_id: r for r in byte_histogram(payloads, bins=16).collect()}
+    # doc 2 holds every byte exactly once -> 16 per bin
+    assert list(out[2].hist) == [16] * 16
+    assert sum(out[1].hist) == out[1].n_bytes == 37
+    assert list(out[3].hist) == [0] * 16  # empty payload -> zero histogram
+    # 'x' = 0x78 -> bin 7
+    assert out[4].hist[7] == 100 and sum(out[4].hist) == 100
+
+
+def test_frame_sample_offsets_and_digests(payloads):
+    rows = frame_sample(payloads, n_frames=4, frame_bytes=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 4 for v in by_doc.values())
+    # doc 2: 256 bytes, span 224 -> offsets 0, 74, 149, 224
+    offs = sorted(r.offset for r in by_doc[2])
+    assert offs == [0, 74, 149, 224]
+    payload = bytes(range(256))
+    for r in by_doc[2]:
+        assert r.frame_md5 == hashlib.md5(payload[r.offset : r.offset + 32]).hexdigest()
+    # empty payload: all offsets 0, digest of empty slice
+    assert {r.offset for r in by_doc[3]} == {0}
+
+
+def test_multimodal_partition_invariance(payloads):
+    one = byte_histogram(payloads.repartition(1)).orderBy("doc_id").collect()
+    many = byte_histogram(payloads.repartition(7)).orderBy("doc_id").collect()
+    assert [list(r.hist) for r in one] == [list(r.hist) for r in many]

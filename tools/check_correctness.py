@@ -23,6 +23,16 @@ TABLES = (
 
 
 def norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None or v != v:
         return "NULL"
     if isinstance(v, float):
