@@ -84,17 +84,26 @@ def extract_turns(
     src = df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text")
     p = partitions or cfg.repartition_partitions or spark.sparkContext.defaultParallelism
     if repartition == "auto":
-        # Repartition only when the upstream layout can't feed every
-        # core (fewer splits than the target parallelism). A balanced
+        # Shuffle only when the upstream layout can't feed every core
+        # (fewer splits than the target parallelism). A balanced
         # parquet/Iceberg scan already gives size-bounded splits, and
         # extraction is embarrassingly turn-parallel — forcing the
         # salted shuffle there adds a fixed exchange cost that measured
-        # ~35% of job time at local[16] for zero balance gain. For
-        # known-skewed layouts (e.g. one file per conversation with
-        # 10^6-turn convs) pass repartition=True to force the
-        # (conv_id, turn_idx) salted spread; AQE skew handling covers
-        # residual shuffle skew elsewhere in the engine.
-        repartition = df.rdd.getNumPartitions() < p
+        # ~35% of job time at local[16] for zero balance gain. When the
+        # scan is over-split instead (many more splits than cores, e.g.
+        # small files), coalesce narrow — no exchange — so per-task and
+        # per-python-batch fixed costs don't dominate at low
+        # parallelism. For known-skewed layouts (one file per
+        # conversation, 10^6-turn convs) pass repartition=True to force
+        # the (conv_id, turn_idx) salted spread; AQE skew handling
+        # covers residual shuffle skew elsewhere in the engine.
+        n_src = df.rdd.getNumPartitions()
+        if n_src < p:
+            repartition = True
+        else:
+            repartition = False
+            if n_src > 4 * p:
+                src = src.coalesce(2 * p)
     if repartition:
         src = src.repartition(p, "conv_id", "turn_idx")
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
