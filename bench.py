@@ -28,7 +28,7 @@ input, production default) and the forced salted-repartition path
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 200),
-     OCR_BENCH_LEVELS (default "2,8"), OCR_BENCH_REPS (default 2).
+     OCR_BENCH_LEVELS (default "2,8"), OCR_BENCH_REPS (default 3).
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: (~80 CPU-seconds at 1M turns) dominates fixed job overhead
 REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "200"))
 LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "2,8").split(",")]
-REPS = int(os.environ.get("OCR_BENCH_REPS", "2"))
+REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
 
 HEADLINE = [
     "extract_text",
@@ -154,19 +154,25 @@ def run_headline(spark) -> dict[str, float]:
     from ocr_lib_spark.pipeline import extract_turns
     from ocr_lib_spark.sources.synth import transcripts_from_documents
 
-    # warm python workers once so the first pandas-UDF query isn't
+    # warm ALL python workers (one per core -> repartition the warm-up
+    # input across every core) so the first pandas-UDF query isn't
     # charged the spawn cost
     extract_turns(
-        transcripts_from_documents(spark, SF_DIR).limit(512), repartition=False
+        transcripts_from_documents(spark, SF_DIR).repartition(CPUS),
+        repartition=False,
     ).agg(F.count("*")).collect()
 
     qs = entry_mod.queries()
     out: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: steady-state, not first-plan costs
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            secs = time.monotonic() - t0
+            best = secs if best is None else min(best, secs)
+        out[name] = round(best, 3)
     return out
 
 
