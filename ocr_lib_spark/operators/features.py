@@ -52,9 +52,13 @@ def block_features(raw: str) -> np.ndarray:
     n = len(raw)
     if n == 0:
         return np.zeros(N_FEATURES)
-    link_chars = sum(m.end() - m.start() for m in A_RE.finditer(raw))
-    tag_chars = sum(m.end() - m.start() for m in TAG_RE.finditer(raw))
-    vis = visible_text(raw)
+    # single C-pass counts: matched-span totals via length deltas of
+    # sub/subn (identical to summing finditer spans), and the tag-subbed
+    # string is reused for the visible-text normalization
+    link_chars = n - len(A_RE.sub("", raw))
+    tag_sub, n_tags = TAG_RE.subn(" ", raw)
+    tag_chars = n - (len(tag_sub) - n_tags)
+    vis = " ".join(tag_sub.split())
     lv = len(vis)
     nv = max(lv, 1)
     if lv:
