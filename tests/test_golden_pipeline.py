@@ -81,3 +81,50 @@ def test_skewed_corpus_has_long_conversations(corpus_pdf):
     # the Zipf generator must actually produce skew for the salting tests
     sizes = corpus_pdf.groupby("conv_id").size()
     assert sizes.max() >= 10 * max(sizes.min(), 1)
+
+
+def test_skewed_layout_salted_spread_equals_oracle(spark):
+    """Degenerate skew: ONE conversation holds 80% of all turns and the
+    source arrives as a single partition sorted by conv_id (the
+    one-file-per-conversation layout the north rule names). The salted
+    (conv_id, turn_idx) repartition must spread it across partitions
+    and still reproduce the oracle exactly under stable ordering."""
+    import pandas as pd
+
+    from reference_oracle import extract_frame
+    from ocr_lib_spark.sources.synth import build_payload
+
+    rows = []
+    for i in range(800):  # the mega-conversation
+        rows.append(("conv-mega", i, "user", build_payload(f"turn {i} scan join value row", i % 7)))
+    for c in range(20):  # 20 short conversations
+        for i in range(10):
+            rows.append((f"conv-{c:03d}", i, "assistant", build_payload(f"short {c} {i}", (c + i) % 7)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    golden = (
+        extract_frame(pdf).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+    src = spark.createDataFrame(pdf).coalesce(1)  # worst-case layout
+    assert src.rdd.getNumPartitions() == 1
+    salted = extract_turns(src, partitions=16, repartition=True)
+    # the heavy stage really runs at 16 partitions
+    assert salted.rdd.getNumPartitions() == 16
+    got = ordered(salted).toPandas().reset_index(drop=True)
+    assert (got.conv_id.values == golden.conv_id.values).all()
+    assert (got.turn_idx.values == golden.turn_idx.values).all()
+    assert (got.extracted_text.values == golden.extracted_text.values).all()
+    # and the spread is real: the mega-conversation does not collapse
+    # into one partition (turn_idx participates in the hash)
+    from pyspark.sql import functions as F
+
+    per_part = (
+        src.repartition(16, "conv_id", "turn_idx")
+        .where(F.col("conv_id") == "conv-mega")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(per_part) >= 8  # spread over at least half the partitions
+    assert max(r["count"] for r in per_part) < 800
