@@ -113,19 +113,21 @@ def lsh_candidate_pairs(
     pair. Shuffle key = (band_idx, band_hash); within-bucket self-join
     is bounded by bucket size (near-dup clusters), never corpus size."""
     n_bands = n_hashes // band_rows
-    bands = []
+    # unpivot every band from ONE pass over the signatures (a per-band
+    # union would re-run the whole signature computation once per band —
+    # measured 16 shuffles vs 6 for the full candidate query)
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band_idx"),
                 F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
             )
         )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+    allb = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
     a = allb.alias("a")
     b_ = allb.alias("b")
     return (
