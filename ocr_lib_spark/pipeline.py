@@ -120,18 +120,16 @@ def ordered(extracted: DataFrame) -> DataFrame:
 def assemble_conversations(extracted: DataFrame, cfg: ExtractionConfig = DEFAULT_CONFIG) -> DataFrame:
     """Conversation-level document assembly: turn texts concatenated in
     turn order (per-row text assembly + newline insertion analog,
-    core.clj:1687-1689) — pure Catalyst (collect_list over a window,
-    then a single array_join), no UDF."""
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    core.clj:1687-1689) — pure Catalyst, no UDF, ONE shuffle: the turn
+    order is restored by array_sort over (turn_idx, text) structs inside
+    the aggregate, so the groupBy stays map-side combinable (a
+    window-sort pre-pass would shuffle-sort every turn first)."""
     return (
-        extracted.withColumn("texts", F.collect_list("extracted_text").over(w))
-        .groupBy("conv_id")
+        extracted.groupBy("conv_id")
         .agg(
-            F.first("texts").alias("texts"),
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "extracted_text"))
+            ).alias("ordered"),
             F.count("*").alias("n_turns"),
             F.sum(F.when(F.col("extracted_text") != "", 1).otherwise(0)).alias(
                 "n_content_turns"
@@ -139,9 +137,13 @@ def assemble_conversations(extracted: DataFrame, cfg: ExtractionConfig = DEFAULT
         )
         .select(
             "conv_id",
-            F.array_join(F.filter("texts", lambda t: t != ""), cfg.block_separator).alias(
-                "conv_text"
-            ),
+            F.array_join(
+                F.filter(
+                    F.transform("ordered", lambda s: s.extracted_text),
+                    lambda t: t != "",
+                ),
+                cfg.block_separator,
+            ).alias("conv_text"),
             "n_turns",
             "n_content_turns",
         )

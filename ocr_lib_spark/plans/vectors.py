@@ -155,15 +155,21 @@ def _ivf_topk(spark, sf_dir):
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
     )
-    # assignment: nearest centroid per vector (broadcast NL + argmax)
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.desc("acos"), F.asc("centroid_id")
-    )
+    # assignment: nearest centroid per vector — max_by aggregation, not
+    # a window sort: the groupBy is map-side combinable, so at corpus
+    # scale the shuffle carries one row per vector, never the full
+    # (vector × centroid) cross product. Tie order pinned via the
+    # (score, -centroid_id) struct (== ORDER BY score DESC, id ASC).
     assign = (
         e.crossJoin(cent)
         .withColumn("acos", _cos(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(wa))
-        .where("rn = 1")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("acos"), (-F.col("centroid_id")).alias("nid"))
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
         .select("vec_id", "v", "centroid_id")
     )
     # probes: NPROBE nearest centroids per query vector
