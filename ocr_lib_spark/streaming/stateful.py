@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: cross-micro-batch conversation
+assembly with ``applyInPandasWithState`` (event-time session semantics).
+
+The batch engine assembles a conversation in one aggregate
+(pipeline.assemble_conversations). In a stream, a conversation's turns
+arrive across micro-batches, so assembly needs per-conversation state:
+accumulate (turn_idx, extracted_text) pairs; when the event-time
+watermark passes the conversation's last activity plus ``gap``, the
+conversation is complete — emit the assembled document and drop the
+state. This is the reference's progress-atom machinery
+(core.clj:15-19, 87-106) grown into a durable streaming operator, and
+the stateful pattern a transcript pipeline needs for any cross-batch
+step at 10^12-turn scale: state is per-key and bounded
+(O(turns of ONE conversation)), keyed shuffles only.
+
+Event-time (watermark) timeout, NOT processing-time: determinism
+doesn't depend on wall clock or trigger cadence, late turns are
+tolerated up to the watermark — and pyspark 4.1's processing-time
+timeout path crashes workers on idle empty micro-batches (observed;
+transformWithStateInPandas is unavailable here: its driver worker
+needs protobuf). Emitted text equals the batch assembler's output for
+the same turns — turns sort by turn_idx at emit, so arrival order
+across micro-batches doesn't matter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("conv_text", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_content_turns", T.IntegerType()),
+    ]
+)
+
+#: state = (turn_idxs, texts) — two parallel arrays (GroupState tuples
+#: support array types; positional arrays avoid struct-codec cost)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idxs", T.ArrayType(T.IntegerType())),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def assemble_conversations_stateful(
+    extracted_stream: DataFrame,
+    watermark: str = "10 seconds",
+    gap_ms: int = 1000,
+    separator: str = "\n",
+) -> DataFrame:
+    """extracted turns stream (must carry ``ts``) -> assembled-conversation
+    stream. A conversation emits once the watermark advances ``gap_ms``
+    past its last observed activity (an explicit terminator turn would
+    emit eagerly in the same structure)."""
+
+    def assemble(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, texts, _ = state.get
+            state.remove()
+            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+            ordered_texts = [texts[i] for i in order]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "conv_text": [separator.join(t for t in ordered_texts if t)],
+                    "n_turns": [len(ordered_texts)],
+                    "n_content_turns": [sum(1 for t in ordered_texts if t)],
+                }
+            )
+            return
+        turn_idxs, texts, last_ts_ms = (
+            state.get if state.exists else ([], [], 0)
+        )
+        turn_idxs, texts = list(turn_idxs), list(texts)
+        for pdf in pdfs:
+            turn_idxs.extend(int(x) for x in pdf["turn_idx"])
+            texts.extend("" if t is None else str(t) for t in pdf["extracted_text"])
+            if len(pdf):
+                batch_max = int(pdf["ts"].max().value // 1_000_000)
+                last_ts_ms = max(last_ts_ms, batch_max)
+        state.update((turn_idxs, texts, last_ts_ms))
+        # session timeout keyed to the conversation's OWN last event time
+        # (a watermark-relative timeout would fire as soon as the global
+        # watermark jumps, ending conversations mid-stream); clamped
+        # above the current watermark as the API requires
+        state.setTimeoutTimestamp(
+            max(last_ts_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover - generator marker
+
+    return (
+        extracted_stream.withWatermark("ts", watermark)
+        .select("conv_id", "turn_idx", "extracted_text", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -84,3 +84,74 @@ def test_windowed_metrics_batch_twin(spark, transcripts):
     joined = ex.join(transcripts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
     m = windowed_extraction_metrics(joined).agg(F.sum("n_turns")).collect()[0][0]
     assert m == transcripts.count()
+
+
+def test_stateful_conversation_assembly_across_microbatches(spark, transcripts, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    event-time timeout): conversations whose turns arrive across
+    micro-batches are assembled per-key in state and emitted when the
+    watermark passes their last activity, matching the batch assembler
+    exactly regardless of arrival order."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.pipeline import assemble_conversations
+    from ocr_lib_spark.streaming.extract_stream import extract_stream, stream_transcripts
+    from ocr_lib_spark.streaming.stateful import assemble_conversations_stateful
+
+    src = str(tmp_path / "stateful_src")
+    # shuffle turn order across 6 files -> a conversation spans micro-batches
+    transcripts.orderBy("turn_idx", "conv_id").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+
+    st = extract_stream(stream_transcripts(spark, src, max_files_per_trigger=1))
+    # session gap keyed to each conversation's own last activity; the
+    # far-future poke advances the watermark past everyone's
+    # last-activity + gap so all sessions flush
+    # watermark delay covers the corpus's full event-time span (~11h):
+    # files arrive in arbitrary order, so any turn may be that "late"
+    out = assemble_conversations_stateful(st, watermark="13 hours", gap_ms=60 * 1000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the event-time watermark past every conversation's
+        # last activity + gap with a far-future poke turn
+        poke = spark.createDataFrame(
+            [("zz_poke", 0, "user", "x", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 48 HOURS"))
+        poke.select(*[f.name for f in transcripts.schema.fields]).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql(
+            "SELECT conv_id, conv_text, n_turns, n_content_turns FROM t_stateful_out"
+        )
+        .where("conv_id NOT LIKE 'zz_poke%'")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        assemble_conversations(extract_turns(transcripts))
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got,
+        exp[["conv_id", "conv_text", "n_turns", "n_content_turns"]].astype(
+            {"n_turns": "int32", "n_content_turns": "int32"}
+        ),
+    )
