@@ -73,6 +73,8 @@ HEADLINE = [
     "token_fingerprints",
     "embedding_near_dup",
     "ivf_topk",
+    "conv_dedup",
+    "session_window_agg",
 ]
 
 

@@ -185,6 +185,78 @@ FROM documents CROSS JOIN range(0, 4) AS r(i)
 """
 
 
+def _q_conv_dedup(spark, sf_dir):
+    """End-to-end training-data shape: extract -> assemble -> exact
+    conversation dedup by content digest (one digest shuffle — the full
+    pipeline a 100 TB corpus dedup runs, with extraction earned from
+    the payloads, not the construction)."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = assemble_conversations(extract_turns(tr))
+    return (
+        conv.select(F.md5("conv_text").alias("digest"), "conv_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_convs"), F.min("conv_id").alias("keep_conv"))
+    )
+
+
+_ORACLE_CONV_DEDUP = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+)
+SELECT md5(conv_text) AS digest, COUNT(*) AS n_convs, MIN(conv_id) AS keep_conv
+FROM conv GROUP BY md5(conv_text)
+"""
+
+
+def _q_session_window(spark, sf_dir):
+    """Spark-native session windows (F.session_window) — the built-in
+    twin of the lag-gap sessionization (gap_sessionize): per-user
+    sessions closed after 30 idle minutes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+_ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "extract_text": QueryDef(
         _q_extract_text,
@@ -215,5 +287,15 @@ QUERIES = {
         _q_multimodal_frames,
         _ORACLE_MM_FRAMES,
         "evenly-spaced frame sampling + digest over binary payloads (pure Catalyst)",
+    ),
+    "conv_dedup": QueryDef(
+        _q_conv_dedup,
+        _ORACLE_CONV_DEDUP,
+        "end-to-end: extract -> assemble -> exact conversation dedup by digest",
+    ),
+    "session_window_agg": QueryDef(
+        _q_session_window,
+        _ORACLE_SESSION_WINDOW,
+        "Spark-native session windows (30 min gap) per user",
     ),
 }
