@@ -79,10 +79,19 @@ def run_with_resume(
     committed buckets are skipped). ``fail_after`` injects a crash after
     N bucket commits — used by the resume tests.
 
-    Each bucket is one narrow Spark job: filter on the bucket hash
-    (pushed to the scan when the source is bucket-partitioned), extract,
-    write. At cluster scale buckets are coarse (e.g. 4096) and the
-    driver loop is a cheap metadata operation per bucket.
+    Two passes over the data, total — scale-critical: a per-bucket
+    filter on ``hash(conv_id) % N`` cannot push down to a parquet scan,
+    so looping buckets directly over the source would re-scan the FULL
+    corpus once per bucket (4096 full scans at 100 TB). Instead:
+
+      1. ONE staging pass shuffles the source into a
+         ``__bucket``-partitioned parquet layout (resume-safe: skipped
+         when its _SUCCESS marker exists);
+      2. each bucket job reads ONLY its partition directory (partition
+         pruning on ``__bucket``), extracts, commits output + lineage.
+
+    At cluster scale buckets are coarse (e.g. 4096) and the driver loop
+    is a cheap metadata operation per bucket.
     """
     spark = transcripts.sparkSession
     n_buckets = n_buckets or cfg.lineage_buckets
@@ -91,12 +100,21 @@ def run_with_resume(
     (out / "data").mkdir(parents=True, exist_ok=True)
     (out / "lineage").mkdir(parents=True, exist_ok=True)
 
-    src = transcripts.withColumn("__bucket", bucket_of(F.col("conv_id"), n_buckets))
+    staging = out / "staging"
+    if not (staging / "_SUCCESS").exists():
+        (
+            transcripts.withColumn("__bucket", bucket_of(F.col("conv_id"), n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(str(staging))
+        )
+    src = spark.read.parquet(str(staging))
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
         t0 = time.monotonic()
+        # partition-pruned read: only staging/__bucket=b is scanned
         part = src.where(F.col("__bucket") == b).drop("__bucket")
         stats = part.agg(
             F.count("*").alias("n"),
