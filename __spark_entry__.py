@@ -4,7 +4,9 @@ entry(spark)   — flagship main-content extraction over the transcript
                  corpus derived from sf0.001 documents.
 queries()      — every implemented operator (SURVEY.md §2 + training-data
                  ops), one callable per name.
-oracle_sql()   — DuckDB twin for each query (all entries have one).
+oracle_sql()   — DuckDB twin per query (every entry except
+               approx_sketches, whose HLL/t-digest values are
+               engine-defined -> rows-only check by design).
 """
 
 from __future__ import annotations

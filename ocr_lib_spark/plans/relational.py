@@ -565,6 +565,23 @@ WHERE rnk = ((n - 1) * q) // 100 + 1
 """
 
 
+# --- approximate sketches (HLL / t-digest) ----------------------------------
+# No DuckDB oracle ON PURPOSE: sketch values are implementation-defined
+# (Spark HLL++ vs DuckDB's HLL disagree by design), so the driver records
+# the weaker rows-only check for this one query; the EXACT twins of both
+# estimates are oracle-verified elsewhere (distinct_user_events,
+# percentile_pick). rsd pinned so the result is deterministic per engine.
+
+def _sketches(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("props", rsd=0.01).alias("approx_props"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": QueryDef(_q1, _O_Q1, "scan+filter+aggregate (core.clj:332-396)"),
     "bbox_minmax": QueryDef(_bbox, _O_BBOX, "grouped 4-way min/max bbox (core.clj:640-685)"),
@@ -582,4 +599,5 @@ QUERIES = {
     "cube_orders": QueryDef(_cube_orders, _O_CUBE, "CUBE over order status x priority"),
     "salted_heavy_hitter": QueryDef(_salted_heavy_hitter, _O_SALTED, "salted two-phase agg (skew handling, core.clj:1519-1589)"),
     "percentile_pick": QueryDef(_percentile_pick, _O_PCT, "exact order-statistic percentiles (p50/p90/p99)"),
+    "approx_sketches": QueryDef(_sketches, None, "HLL++ distinct + t-digest median sketches (rows-only: sketch values are engine-defined)"),
 }
