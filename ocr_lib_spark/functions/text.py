@@ -152,3 +152,37 @@ def min_gram_hash(text: Column | str, k: int = 8) -> Column:
         lambda acc, ch: (acc * RK_BASE + F.ascii(ch)) % RK_MOD,
     )
     return F.array_min(F.transform(starts, gram_hash))
+
+
+def rolling_hashes_pandas(texts, k: int = 8):
+    """Vectorized O(n) twin of (rolling_hash, min_gram_hash) for one
+    pandas Series of texts — prefix hashing: P[i+1] = (P[i]·B + c_i)
+    mod M, gram(i) = (P[i+k] - P[i]·B^k) mod M. Same arithmetic mod
+    M, so results are bit-identical to the Catalyst expressions and the
+    DuckDB oracle; used where a profile shows the O(n·k) expression
+    dominating (pandas_udf in extraction-adjacent plans)."""
+    import numpy as np
+    import pandas as pd
+
+    bk = pow(RK_BASE, k, RK_MOD)
+    rk_out = np.zeros(len(texts), dtype=np.int64)
+    mg_out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.astype(object)):
+        if not isinstance(t, str) or not t:
+            continue
+        c = np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64)
+        n = len(c)
+        p = np.zeros(n + 1, dtype=np.int64)
+        acc = 0
+        # sequential fold is required (each prefix depends on the last);
+        # numpy buffers keep per-char cost at C-array speed
+        for j in range(n):
+            acc = (acc * RK_BASE + int(c[j])) % RK_MOD
+            p[j + 1] = acc
+        rk_out[i] = acc
+        if n <= k:
+            mg_out[i] = acc
+        else:
+            grams = (p[k:] - (p[:-k] * bk) % RK_MOD) % RK_MOD
+            mg_out[i] = int(grams.min())
+    return pd.DataFrame({"rk_hash": rk_out, "min_gram8": mg_out})
