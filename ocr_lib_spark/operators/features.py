@@ -25,8 +25,34 @@ import numpy as np
 
 N_FEATURES = 6
 
-TAG_RE = re.compile(r"<[^>]*>")
-A_RE = re.compile(r"<a\b[^>]*>.*?</a\s*>", re.S | re.I)
+#: `[^<>]*` keeps scans linear on broken markup (a stray `<` restarts
+#: the tag scan, HTML5-parser-like); `[^>]*` was quadratic — see
+#: tokenizer.py for the measurement
+TAG_RE = re.compile(r"<[^<>]*>")
+A_OPEN_RE = re.compile(r"<a\b[^<>]*>", re.I)
+A_CLOSE_RE = re.compile(r"</a\s*>", re.I)
+
+
+def _link_chars(raw: str) -> int:
+    """Total chars inside <a>...</a> spans (first-closer pairing, like
+    the lazy regex it replaces) — two linear passes + binary search,
+    never the quadratic `<a[^>]*>.*?</a>` backtracking on unclosed
+    anchors."""
+    import bisect
+
+    closes = [(m.start(), m.end()) for m in A_CLOSE_RE.finditer(raw)]
+    if not closes:
+        return 0
+    total = 0
+    m = A_OPEN_RE.search(raw)
+    while m:
+        i = bisect.bisect_left(closes, (m.end(), -1))
+        if i < len(closes):
+            total += closes[i][1] - m.start()
+            m = A_OPEN_RE.search(raw, closes[i][1])
+        else:
+            m = A_OPEN_RE.search(raw, m.start() + 1)
+    return total
 _PUNCT = set(string.punctuation)
 #: deletion tables — counting by translate-then-length runs at C speed,
 #: ~8x faster than a per-char Python generator (this function is ~80% of
@@ -55,7 +81,7 @@ def block_features(raw: str) -> np.ndarray:
     # single C-pass counts: matched-span totals via length deltas of
     # sub/subn (identical to summing finditer spans), and the tag-subbed
     # string is reused for the visible-text normalization
-    link_chars = n - len(A_RE.sub("", raw))
+    link_chars = _link_chars(raw)
     tag_sub, n_tags = TAG_RE.subn(" ", raw)
     tag_chars = n - (len(tag_sub) - n_tags)
     vis = " ".join(tag_sub.split())

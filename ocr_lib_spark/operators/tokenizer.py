@@ -23,11 +23,55 @@ import binascii
 import re
 from dataclasses import dataclass, field
 
+_BLOCK_TAGS = r"nav|header|footer|aside|p|div|ul|ol|table|pre|code|section|article|h[1-6]"
+#: reference semantics pattern (kept for documentation/tests): lazy
+#: match to the FIRST same-tag closer, case-insensitive, attrs allowed.
+#: NOT used for scanning — the backtracking `(.*?)</\1>` makes broken
+#: markup quadratic (measured 7.6s on a single 100 KB `<`-noise payload;
+#: an executor DoS at corpus scale). `_block_matches` below reproduces
+#: its exact match sequence with two linear passes.
+#: `[^<>]*` (not `[^>]*`) everywhere: a stray `<` inside a tag's attr
+#: region starts a new tag scan (HTML5-parser-like) — and keeps every
+#: scan linear; `[^>]*` rescans to end-of-payload at each `<` of broken
+#: markup (quadratic, measured 8s on one 100 KB `<`-noise payload).
 BLOCK_TAG_RE = re.compile(
-    r"<(nav|header|footer|aside|p|div|ul|ol|table|pre|code|section|article|h[1-6])"
-    r"\b[^>]*>(.*?)</\1\s*>",
+    rf"<({_BLOCK_TAGS})\b[^<>]*>(.*?)</\1\s*>",
     re.S | re.I,
 )
+_OPEN_RE = re.compile(rf"<({_BLOCK_TAGS})\b[^<>]*>", re.I)
+_CLOSE_RE = re.compile(rf"</({_BLOCK_TAGS})\s*>", re.I)
+
+
+def _block_matches(payload: str) -> list[tuple[int, int, int, int]]:
+    """(start, end, inner_start, inner_end) for every block element,
+    reproducing BLOCK_TAG_RE.finditer exactly (pinned by tests):
+      - a block runs from its opening tag to the FIRST same-tag closer
+        (nested same-tag stays inside, like the lazy `.*?`);
+      - consumed spans are skipped (finditer resumes after a match);
+      - an opener with no closer is skipped with a 1-char advance, so
+        blocks hidden inside it (even inside its attr region) are found.
+    Linear: one closer pass + ordered opener searches + binary search.
+    """
+    import bisect
+
+    closers: dict[str, list[tuple[int, int]]] = {}
+    for m in _CLOSE_RE.finditer(payload):
+        closers.setdefault(m.group(1).lower(), []).append((m.start(), m.end()))
+    out: list[tuple[int, int, int, int]] = []
+    m = _OPEN_RE.search(payload)
+    while m:
+        lst = closers.get(m.group(1).lower())
+        close = None
+        if lst:
+            i = bisect.bisect_left(lst, (m.end(), -1))
+            if i < len(lst):
+                close = lst[i]
+        if close:
+            out.append((m.start(), close[1], m.end(), close[0]))
+            m = _OPEN_RE.search(payload, close[1])
+        else:
+            m = _OPEN_RE.search(payload, m.start() + 1)
+    return out
 TOOL_HEAD_RE = re.compile(r'^\s*\{\s*"tool_call"')
 TOOL_OUT_RE = re.compile(r'"output"\s*:\s*"')
 DATA_URI_RE = re.compile(r"^data:[A-Za-z0-9.+/-]+;base64,")
@@ -51,23 +95,23 @@ def _html_blocks(payload: str, base: int) -> list[Block]:
     """Split markup into block elements + nonblank bare-text runs."""
     blocks: list[Block] = []
     pos = 0
-    for m in BLOCK_TAG_RE.finditer(payload):
-        if m.start() > pos:
-            seg = payload[pos : m.start()]
+    for start, end, inner_start, inner_end in _block_matches(payload):
+        if start > pos:
+            seg = payload[pos:start]
             if seg.strip():
                 blocks.append(
-                    Block(base + pos, base + m.start(), base + pos, base + m.start(), seg)
+                    Block(base + pos, base + start, base + pos, base + start, seg)
                 )
         blocks.append(
             Block(
-                base + m.start(),
-                base + m.end(),
-                base + m.start(2),
-                base + m.end(2),
-                m.group(0),
+                base + start,
+                base + end,
+                base + inner_start,
+                base + inner_end,
+                payload[start:end],
             )
         )
-        pos = m.end()
+        pos = end
     if pos < len(payload):
         seg = payload[pos:]
         if seg.strip():

@@ -229,3 +229,41 @@ def test_split_degenerate_inputs():
     out = extract_batch(pd.Series([None, "", "   "]), cfg)
     assert list(out.extracted_text) == ["", "", ""]
     assert list(out.n_blocks) == [0, 0, 0]
+
+
+# --- adversarial-markup robustness: segmentation must stay LINEAR ------------
+# (an executor processing 10^12 turns will see broken markup; quadratic
+#  regex backtracking on one bad payload stalls a whole task)
+
+@pytest.mark.parametrize("payload", [
+    "<" * 100_000,
+    "<div>" * 5_000,
+    "<a href=x>" * 5_000,
+    "<nav " * 20_000,
+])
+def test_adversarial_markup_linear_time(payload):
+    import time
+
+    t0 = time.monotonic()
+    out = extract_batch(pd.Series([payload]))
+    assert time.monotonic() - t0 < 2.0  # was 8s+ with backtracking scans
+    assert out.extracted_text[0] is not None
+
+
+def test_block_matches_equals_reference_regex_fuzz():
+    """The linear scanner reproduces BLOCK_TAG_RE.finditer exactly on
+    randomized markup soup (the lazy-regex semantics are the pinned
+    contract; the scanner is the implementation)."""
+    import random
+
+    from ocr_lib_spark.operators.tokenizer import BLOCK_TAG_RE, _block_matches
+
+    random.seed(1234)
+    pieces = ["<p>", "</p>", "<div>", "</div>", "<DIV >", "</DIV >", "<nav>",
+              "</nav>", "text ", "<a href=x>l</a>", "<p attr='v'>", "<", ">",
+              "\n", "<h1>", "</h1>", "</p >", "word. ", "<pre>", "</pre>"]
+    for _ in range(1500):
+        s = "".join(random.choice(pieces) for _ in range(random.randint(0, 25)))
+        ref = [(m.start(), m.end(), m.start(2), m.end(2))
+               for m in BLOCK_TAG_RE.finditer(s)]
+        assert ref == _block_matches(s), repr(s)
