@@ -75,6 +75,7 @@ HEADLINE = [
     "ivf_topk",
     "conv_dedup",
     "session_window_agg",
+    "near_dup_verified",
 ]
 
 

@@ -350,6 +350,128 @@ FROM documents
 """
 
 
+
+# --- the canonical MinHash-LSH dedup pipeline end-to-end:
+# --- candidates from banded LSH, verified by exact shingle Jaccard ----------
+
+NEAR_DUP_JACCARD_T = 0.35
+#: stricter banding for the verified pipeline: 2 bands x 4 rows. The
+#: synthetic docs share shingles heavily, so 4 x 2-row bands (the
+#: recall-oriented setting kept in lsh_candidate_pairs) over-generates
+#: ~40% of all pairs as candidates — at sf0.1 that is millions of exact
+#: verifications for a couple hundred true near-dups. Band width is THE
+#: candidate-volume knob of MinHash-LSH; precision-oriented here.
+NEAR_DUP_BAND_ROWS = 4
+#: hot-bucket cap (see operators/dedup.py::lsh_candidate_pairs): buckets
+#: larger than this are template-degenerate, not near-dup clusters
+NEAR_DUP_MAX_BUCKET = 100
+
+
+def _near_dup_verified(spark, sf_dir):
+    """LSH candidate generation -> exact |∩|/|∪| verification >= τ —
+    the two-stage shape every corpus-scale near-dup run uses (candidates
+    bound the quadratic; the exact kernel runs only on candidates).
+    Verification joins the narrow texts back by id and runs the same
+    Arrow-batched set-cardinality kernel as adjacent_jaccard."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(d, n_hashes=N_HASHES, k=SHINGLE_K)
+    cand = lsh_candidate_pairs(
+        sig,
+        n_hashes=N_HASHES,
+        band_rows=NEAR_DUP_BAND_ROWS,
+        max_bucket_size=NEAR_DUP_MAX_BUCKET,
+    )
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_inter", T.LongType()),
+                T.StructField("n_union", T.LongType()),
+            ]
+        )
+    )
+    def set_counts(ta, tb):
+        import pandas as pd
+
+        k = SHINGLE_K
+
+        def sh(t):
+            if not isinstance(t, str):
+                t = ""
+            return (
+                {t[i : i + k] for i in range(len(t) - k + 1)}
+                if len(t) > k - 1
+                else {t[:k]}
+            )
+
+        ni, nu = [], []
+        for x, y in zip(ta.astype(object), tb.astype(object)):
+            sx, sy = sh(x), sh(y)
+            ni.append(len(sx & sy))
+            nu.append(len(sx | sy))
+        return pd.DataFrame({"n_inter": ni, "n_union": nu})
+
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", set_counts("ta", "tb").alias("c"))
+        .withColumn("jaccard", F.col("c.n_inter") / F.col("c.n_union"))
+        .where(F.col("jaccard") >= NEAR_DUP_JACCARD_T)
+        .select("id_a", "id_b", F.col("c.n_inter").alias("n_inter"),
+                F.col("c.n_union").alias("n_union"), "jaccard")
+    )
+
+
+def _near_dup_verified_oracle() -> str:
+    n_bands = N_HASHES // NEAR_DUP_BAND_ROWS
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, %d AS band_idx, md5(%s) AS band_hash FROM sig"
+        % (
+            b,
+            " || '|' || ".join(
+                f"h{b * NEAR_DUP_BAND_ROWS + r}::VARCHAR"
+                for r in range(NEAR_DUP_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS x FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                               i -> substring(text, i, {SHINGLE_K})))) AS s
+    FROM documents)),
+sig AS (
+  SELECT doc_id, {_minhash_sql_mins()}
+  FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz FROM bands),
+kept AS (SELECT doc_id, band_idx, band_hash FROM sized WHERE bsz <= {NEAR_DUP_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                      i -> substring(text, i, {SHINGLE_K}))) AS s
+  FROM documents)
+SELECT id_a, id_b,
+       len(list_intersect(x.s, y.s))::BIGINT AS n_inter,
+       len(list_distinct(list_concat(x.s, y.s)))::BIGINT AS n_union,
+       len(list_intersect(x.s, y.s))::DOUBLE
+         / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+FROM cand JOIN shs x ON x.doc_id = id_a JOIN shs y ON y.doc_id = id_b
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+        / len(list_distinct(list_concat(x.s, y.s))) >= {NEAR_DUP_JACCARD_T}
+"""
+
 QUERIES = {
     "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
     "token_fingerprints": QueryDef(
@@ -363,5 +485,6 @@ QUERIES = {
     "adjacent_jaccard": QueryDef(_adjacent_jaccard, _O_ADJ_JACCARD, "shingle-set Jaccard kernel (core.clj:1039-1050)"),
     "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),
     "lsh_candidate_pairs": QueryDef(_lsh_pairs, _lsh_pairs_oracle(), "banded LSH near-dup candidates"),
+    "near_dup_verified": QueryDef(_near_dup_verified, _near_dup_verified_oracle(), "canonical MinHash-LSH near-dup: candidates -> exact Jaccard >= tau"),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
 }
