@@ -103,7 +103,10 @@ def extract_turns(
         else:
             repartition = False
             if n_src > 4 * p:
-                src = src.coalesce(2 * p)
+                # 4 waves of tasks: coarse enough to amortize per-task
+                # cost, fine enough that one straggler task can't add a
+                # full-wave tail (2*p showed bimodal wall times)
+                src = src.coalesce(4 * p)
     if repartition:
         src = src.repartition(p, "conv_id", "turn_idx")
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
