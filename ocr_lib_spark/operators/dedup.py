@@ -210,11 +210,62 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprint, vectorized: per-row Arrow batches, zero
+    shuffles (a fingerprint needs only its own document). Bit j of the
+    fingerprint is the majority vote of md5-prefix token-hash bit j —
+    identical values to the relational ``simhash64`` twin and the
+    DuckDB oracle (same md5 prefix, same ±1 vote, same >0 rule)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+    powers = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            for ri, t in enumerate(pdf[text_col].astype(object)):
+                toks = [x for x in ws.split(t.strip())] if isinstance(t, str) and t.strip() else []
+                toks = [x for x in toks if x]
+                if not toks:
+                    fps[ri] = 0
+                    continue
+                xs = np.fromiter(
+                    (int(hashlib.md5(x.encode()).hexdigest()[:15], 16) for x in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (xs[:, None] >> np.arange(n_bits)) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                fps[ri] = int(powers[votes > 0].sum())
+            out = pd.DataFrame({id_col: pdf[id_col].values})
+            out["simhash"] = fps
+            yield out
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType), T.StructField("simhash", T.LongType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j of the fingerprint is
     the majority vote of token-hash bit j. Expressed relationally
     (explode -> per-bit sum of ±1 -> bit pack) so Catalyst keeps it in
-    codegen; the shuffle is one groupBy on the doc id."""
+    codegen; the shuffle is one groupBy on the doc id. See
+    ``simhash_bits`` for the zero-shuffle Arrow twin."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

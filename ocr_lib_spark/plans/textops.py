@@ -258,8 +258,12 @@ FROM bands a JOIN bands b
 # --- SimHash fingerprint ------------------------------------------------------
 
 def _simhash(spark, sf_dir):
-    return simhash64(_docs(spark, sf_dir)).select(
-        "doc_id", (F.col("simhash") % (2**SIMHASH_BITS)).alias("simhash_low")
+    # zero-shuffle Arrow path (simhash_bits); simhash64 is the
+    # relational twin with identical values (pinned by the oracle)
+    from ocr_lib_spark.operators.dedup import simhash_bits
+
+    return simhash_bits(_docs(spark, sf_dir), n_bits=SIMHASH_BITS).select(
+        "doc_id", F.col("simhash").alias("simhash_low")
     )
 
 
