@@ -128,3 +128,29 @@ def test_skewed_layout_salted_spread_equals_oracle(spark):
     )
     assert len(per_part) >= 8  # spread over at least half the partitions
     assert max(r["count"] for r in per_part) < 800
+
+
+def test_vectorized_kernels_equal_relational_twins(spark):
+    """The Arrow fast paths (zero-shuffle minhash / simhash) are pinned
+    bit-identical to their pure-Catalyst twins on real data."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+        simhash_bits,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh_fast = minhash_signatures(d).orderBy("doc_id").toPandas()
+    mh_ref = minhash_signatures(d, vectorized=False).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(mh_fast, mh_ref)
+
+    sh_fast = simhash_bits(d, n_bits=20).orderBy("doc_id").toPandas()
+    sh_ref = (
+        simhash64(d)
+        .select("doc_id", (F.col("simhash") % (2**20)).alias("simhash"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(sh_fast, sh_ref)
