@@ -211,15 +211,15 @@ def main() -> None:
         if len(LEVELS) > 1
         else None
     )
-    # headline efficiency: best execution path per level. Both paths
-    # compute identical results; a deployment runs the faster strategy
-    # for its layout, and pairing each level's best also cancels the
-    # per-process sampling noise that makes single-path ratios bounce
-    # (the two paths are measured back-to-back in the same process).
+    # Headline efficiency = the AUTO path (production default on this
+    # balanced layout): one reproducible run configuration, per-level.
+    # best-path efficiency (max of the two strategies per level) is
+    # reported alongside, explicitly labeled — it is a composite no
+    # single execution achieves and is NOT the headline.
     best = {
         k: max(levels[k]["tps"], levels[k]["tps_salted_shuffle"]) for k in (lo, hi)
     }
-    eff = best[hi] / (ratio * best[lo]) if len(LEVELS) > 1 else None
+    eff_best = best[hi] / (ratio * best[lo]) if len(LEVELS) > 1 else None
     result = {
         "metric": "total_bench_seconds",
         "value": round(sum(queries.values()), 3),
@@ -229,14 +229,17 @@ def main() -> None:
         "extraction": {
             "turns": levels[hi]["turns"],
             "levels": levels,
-            "turns_per_sec_low": round(best[lo], 1),
-            "turns_per_sec_high": round(best[hi], 1),
+            "headline_path": "auto (conditional repartition; production default)",
+            "turns_per_sec_low": round(levels[lo]["tps"], 1),
+            "turns_per_sec_high": round(levels[hi]["tps"], 1),
             "parallelism_low": min(LEVELS),
             "parallelism_high": max(LEVELS),
-            "scaling_efficiency": round(eff, 3) if eff is not None else None,
-            "scaling_efficiency_auto": round(eff_auto, 3) if eff_auto is not None else None,
+            "scaling_efficiency": round(eff_auto, 3) if eff_auto is not None else None,
             "scaling_efficiency_salted_shuffle": (
                 round(eff_shuffle, 3) if eff_shuffle is not None else None
+            ),
+            "scaling_efficiency_best_path": (
+                round(eff_best, 3) if eff_best is not None else None
             ),
         },
     }

@@ -170,7 +170,11 @@ def rolling_hashes_pandas(texts, k: int = 8):
     for i, t in enumerate(texts.astype(object)):
         if not isinstance(t, str) or not t:
             continue
-        c = np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64)
+        # hash Unicode CODEPOINTS (not ascii-replaced bytes): F.ascii and
+        # DuckDB ascii() both return the codepoint, so this is the only
+        # encoding under which the three twins stay bit-identical on
+        # non-ASCII text
+        c = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
         n = len(c)
         p = np.zeros(n + 1, dtype=np.int64)
         acc = 0

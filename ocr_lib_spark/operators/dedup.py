@@ -123,9 +123,15 @@ def _minhash_vectorized(df, text_col, id_col, n_hashes, k) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
+            # NULL-text docs are DROPPED, matching the relational twin
+            # (explode of a null shingle array emits no row); empty-string
+            # docs keep their single '' shingle in both paths
+            keep = np.zeros(len(pdf), dtype=bool)
             rows = []
-            for t in pdf[text_col].astype(object):
-                t = t if isinstance(t, str) else ""
+            for ri, t in enumerate(pdf[text_col].astype(object)):
+                if not isinstance(t, str):
+                    continue
+                keep[ri] = True
                 n = len(t)
                 sh = {t[i : i + k] for i in range(n - k + 1)} if n > k - 1 else {t[:k]}
                 xs = np.fromiter(
@@ -140,9 +146,10 @@ def _minhash_vectorized(df, text_col, id_col, n_hashes, k) -> DataFrame:
                 ) % MINHASH_P
                 rows.append(h.min(axis=0))
             out = pd.DataFrame(
-                np.vstack(rows), columns=[f"h{i}" for i in range(n_hashes)]
+                np.vstack(rows) if rows else np.empty((0, n_hashes), dtype=np.int64),
+                columns=[f"h{i}" for i in range(n_hashes)],
             )
-            out.insert(0, id_col, pdf[id_col].values)
+            out.insert(0, id_col, pdf[id_col].values[keep])
             yield out
 
     id_field = df.schema[id_col]
@@ -234,13 +241,17 @@ def simhash_bits(
 
     def run(batches):
         for pdf in batches:
+            # token-less docs (NULL/empty/whitespace-only) are DROPPED,
+            # matching the relational twin (explode + tok<>'' filter
+            # leaves no group to aggregate) and the DuckDB oracle
+            keep = np.zeros(len(pdf), dtype=bool)
             fps = np.zeros(len(pdf), dtype=np.int64)
             for ri, t in enumerate(pdf[text_col].astype(object)):
                 toks = [x for x in ws.split(t.strip())] if isinstance(t, str) and t.strip() else []
                 toks = [x for x in toks if x]
                 if not toks:
-                    fps[ri] = 0
                     continue
+                keep[ri] = True
                 xs = np.fromiter(
                     (int(hashlib.md5(x.encode()).hexdigest()[:15], 16) for x in toks),
                     dtype=np.int64,
@@ -249,8 +260,8 @@ def simhash_bits(
                 bits = (xs[:, None] >> np.arange(n_bits)) & 1
                 votes = (2 * bits - 1).sum(axis=0)
                 fps[ri] = int(powers[votes > 0].sum())
-            out = pd.DataFrame({id_col: pdf[id_col].values})
-            out["simhash"] = fps
+            out = pd.DataFrame({id_col: pdf[id_col].values[keep]})
+            out["simhash"] = fps[keep]
             yield out
 
     id_field = df.schema[id_col]

@@ -111,6 +111,8 @@ def byte_histogram(
     (byte >> log2(256/bins)), one numpy pass per Arrow batch — the
     grayscale-histogram analog of the binarization scan
     (grayscale-contrast-fn core.clj:241-330) on opaque media bytes."""
+    if bins <= 0 or bins > 256 or (bins & (bins - 1)) != 0:
+        raise ValueError(f"bins must be a power of two in (0, 256], got {bins}")
     shift = 8 - (bins - 1).bit_length()
 
     def run(batches):

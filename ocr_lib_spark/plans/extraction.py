@@ -158,15 +158,26 @@ FROM documents
 def _q_multimodal_hist(spark, sf_dir):
     from ocr_lib_spark.operators.multimodal import byte_histogram
 
-    return byte_histogram(_mm_payload(spark, sf_dir), bins=16)
+    # posexplode to scalar (doc_id, n_bytes, bin, n_in_bin) rows: the
+    # driver's canonicalizer sorts raw columns and cannot hash an
+    # array<int> cell, so no array column may cross the gate boundary
+    # (the kernel itself still emits one hist array per doc).
+    h = byte_histogram(_mm_payload(spark, sf_dir), bins=16)
+    return h.select(
+        "doc_id", "n_bytes", F.posexplode("hist").alias("bin", "n_in_bin")
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_in_bin").cast("int").alias("n_in_bin"),
+    )
 
 
 _ORACLE_MM_HIST = """
-SELECT doc_id, CAST(n_chars AS INT) AS n_bytes,
-       list_transform(range(0, 16),
-         b -> len(list_filter(list_transform(split(text, ''), ch -> ascii(ch) // 16),
-                              v -> v = b))::INT) AS hist
-FROM documents
+SELECT doc_id, CAST(n_chars AS INT) AS n_bytes, CAST(r.b AS INT) AS bin,
+       len(list_filter(list_transform(split(text, ''), ch -> ascii(ch) // 16),
+                       v -> v = r.b))::INT AS n_in_bin
+FROM documents CROSS JOIN range(0, 16) AS r(b)
 """
 
 

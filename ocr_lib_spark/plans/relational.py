@@ -288,9 +288,9 @@ _O_ANTI_SEMI = """
 SELECT n.n_name,
        COUNT(*) AS n_customers,
        COALESCE(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-                THEN 1 ELSE 0 END), 0) AS n_with_orders,
+                THEN 1 ELSE 0 END), 0)::BIGINT AS n_with_orders,
        COALESCE(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-                THEN 1 ELSE 0 END), 0) AS n_without_orders
+                THEN 1 ELSE 0 END), 0)::BIGINT AS n_without_orders
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """

@@ -100,6 +100,7 @@ def main():
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         else:
+            problems.extend(_driver_shape_problems(sdf, odf))
             hs, ho = frame_hash(sdf), frame_hash(odf)
             if hs != ho:
                 problems.append("value-hash mismatch")
@@ -115,6 +116,29 @@ def main():
     print(f"\n{len(results) - len(bad)}/{len(results)} OK")
     if bad:
         sys.exit(1)
+
+
+def _driver_shape_problems(sdf, odf):
+    """Catch drift the stringifying hash above would mask but the
+    external driver's canonicalizer would not:
+
+    - int-vs-float dtype drift (driver stringifies 17 vs 17.0 -> hash
+      mismatch; our %.9g formatting hides it) — the anti_semi_customers
+      round-1 failure class;
+    - non-scalar cells (list/array/struct) — the driver sort_values
+      raises `unhashable type: 'list'` — the multimodal_hist failure.
+    """
+    import numpy as np
+
+    out = []
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok and "f" in (sk, ok) and {sk, ok} & {"i", "u"}:
+            out.append(f"dtype drift {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        sample = list(sdf[c].head(5)) + list(odf[c].head(5))
+        if any(isinstance(v, (list, tuple, dict, np.ndarray)) for v in sample):
+            out.append(f"non-scalar cells in {c} (driver canonicalizer cannot sort arrays)")
+    return out
 
 
 def _diff_sample(sdf, odf, n=3):
