@@ -94,7 +94,9 @@ def minhash_signatures(
         raise ValueError(f"n_hashes > {len(MINHASH_A)} needs more family constants")
     if vectorized:
         return _minhash_vectorized(df, text_col, id_col, n_hashes, k)
-    sh = df.select(
+    # NULL-text docs are dropped (both paths): char_shingles(NULL) is
+    # [NULL], which would otherwise survive as an all-NULL signature row
+    sh = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("sh")
     )
     x = stable_hash64(F.col("sh"))

@@ -120,32 +120,100 @@ def ordered(extracted: DataFrame) -> DataFrame:
     return extracted.orderBy("conv_id", "turn_idx")
 
 
-def assemble_conversations(extracted: DataFrame, cfg: ExtractionConfig = DEFAULT_CONFIG) -> DataFrame:
+def assemble_conversations(
+    extracted: DataFrame,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    chunk_turns: int | None = 1024,
+) -> DataFrame:
     """Conversation-level document assembly: turn texts concatenated in
     turn order (per-row text assembly + newline insertion analog,
-    core.clj:1687-1689) — pure Catalyst, no UDF, ONE shuffle: the turn
-    order is restored by array_sort over (turn_idx, text) structs inside
-    the aggregate, so the groupBy stays map-side combinable (a
-    window-sort pre-pass would shuffle-sort every turn first)."""
-    return (
-        extracted.groupBy("conv_id")
+    core.clj:1687-1689) — pure Catalyst, no UDF.
+
+    Scale shape: TWO-LEVEL chunked concat. Level 1 groups by
+    (conv_id, turn_idx // chunk_turns) and concatenates each chunk's
+    turns; level 2 concatenates the (already-joined) chunk strings in
+    chunk order. Each aggregation buffer therefore holds at most
+    ``chunk_turns`` turn structs (level 1) or n_turns/chunk_turns chunk
+    strings (level 2) — the north rule's 10^6-turn mega-conversation
+    never materializes as ONE 10^6-element collect_list row, which is
+    the one place a single-level groupBy could OOM an executor at 100×
+    scale. Both levels stay map-side combinable (array_sort inside the
+    aggregate; no window pre-sort). Results are byte-identical to the
+    single-level plan (``chunk_turns=None``), which is retained for
+    small-conversation layouts where one shuffle beats two.
+    """
+    sep = cfg.block_separator
+    content = F.sum(F.when(F.col("extracted_text") != "", 1).otherwise(0))
+    if chunk_turns is None:
+        return (
+            extracted.groupBy("conv_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "extracted_text"))
+                ).alias("ordered"),
+                F.count("*").alias("n_turns"),
+                content.alias("n_content_turns"),
+            )
+            .select(
+                "conv_id",
+                F.array_join(
+                    F.filter(
+                        F.transform("ordered", lambda s: s.extracted_text),
+                        lambda t: t != "",
+                    ),
+                    sep,
+                ).alias("conv_text"),
+                "n_turns",
+                "n_content_turns",
+            )
+        )
+    chunks = (
+        extracted.groupBy(
+            "conv_id",
+            F.floor(F.col("turn_idx") / F.lit(chunk_turns)).alias("chunk_idx"),
+        )
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("turn_idx", "extracted_text"))
             ).alias("ordered"),
-            F.count("*").alias("n_turns"),
-            F.sum(F.when(F.col("extracted_text") != "", 1).otherwise(0)).alias(
-                "n_content_turns"
-            ),
+            F.count("*").alias("c_turns"),
+            content.alias("c_content"),
         )
         .select(
             "conv_id",
+            "chunk_idx",
+            # join the chunk's non-empty turns now: downstream carries ONE
+            # string per chunk, not chunk_turns structs
             F.array_join(
                 F.filter(
                     F.transform("ordered", lambda s: s.extracted_text),
                     lambda t: t != "",
                 ),
-                cfg.block_separator,
+                sep,
+            ).alias("chunk_text"),
+            "c_turns",
+            "c_content",
+        )
+    )
+    return (
+        chunks.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))).alias(
+                "ordered"
+            ),
+            F.sum("c_turns").alias("n_turns"),
+            F.sum("c_content").alias("n_content_turns"),
+        )
+        .select(
+            "conv_id",
+            # all-empty chunks join to '' and are filtered here, exactly as
+            # empty turns are in the single-level plan
+            F.array_join(
+                F.filter(
+                    F.transform("ordered", lambda s: s.chunk_text),
+                    lambda t: t != "",
+                ),
+                sep,
             ).alias("conv_text"),
             "n_turns",
             "n_content_turns",
