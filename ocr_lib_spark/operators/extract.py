@@ -34,6 +34,7 @@ def extract_batch(
     prototypes: np.ndarray | None = None,
     labels: list[str] | None = None,
     keep: np.ndarray | None = None,
+    timings: dict | None = None,
 ) -> pd.DataFrame:
     """Extract a batch of raw payloads.
 
@@ -44,9 +45,16 @@ def extract_batch(
       spans          : list of {start, end, label} into the ORIGINAL payload
       n_blocks       : segmented block count (segmentation-stage golden,
                        core_test.clj:2696-2748 analog)
+
+    ``timings`` (optional dict) accumulates per-stage CPU seconds under
+    keys segment/classify/assemble — the measured twin of the
+    reference's hard-coded stage-cost weights (core.clj:153-164).
     """
+    import time as _time
+
     if prototypes is None:
         prototypes, labels, keep = taught_prototypes()
+    _t0 = _time.perf_counter()
 
     per_row_blocks: list[list[Block]] = []
     texts: list[list[str]] = []
@@ -79,6 +87,7 @@ def extract_batch(
                 flat_feats.append(block_features(b.raw))
                 flat_ref.append((ri, bi))
 
+    _t1 = _time.perf_counter()
     # one vectorized nearest-prototype pass for the whole batch
     if flat_feats:
         best, score = classify(np.stack(flat_feats), prototypes)
@@ -88,6 +97,7 @@ def extract_batch(
         ref: (labels[best[k]], float(score[k])) for k, ref in enumerate(flat_ref)
     }
 
+    _t2 = _time.perf_counter()
     keep_set = set(cfg.keep_labels)
     out_text: list[str] = []
     out_spans: list[list[dict]] = []
@@ -141,6 +151,11 @@ def extract_batch(
         out_nblocks.append(len(blocks))
         out_unknown.append(unknown_export)
 
+    if timings is not None:
+        _t3 = _time.perf_counter()
+        timings["segment"] = timings.get("segment", 0.0) + (_t1 - _t0)
+        timings["classify"] = timings.get("classify", 0.0) + (_t2 - _t1)
+        timings["assemble"] = timings.get("assemble", 0.0) + (_t3 - _t2)
     return pd.DataFrame(
         {
             "extracted_text": pd.Series(out_text, index=payloads.index, dtype=object),

@@ -39,6 +39,65 @@ def _try_pil():
         return None
 
 
+def probe_image_dims(buf: bytes) -> tuple[int, int, str] | None:
+    """Dependency-free image-dimension probe: struct-parse the container
+    header (pure stdlib, deterministic). Returns (width, height, format)
+    or None when the payload is not a recognizable image — the real
+    recast of ImageIO/read's metadata role (core.clj:1498-1500) for a
+    container with no codecs; pixel decode still needs PIL and stays a
+    gated slot.
+
+    Formats: PNG (IHDR big-endian dims at offset 16/20), GIF87a/89a
+    (little-endian uint16 at 6/8), JPEG (marker walk to SOF0-SOF15,
+    big-endian dims), BMP (BITMAPINFOHEADER int32 at 18/22).
+    """
+    import struct
+
+    n = len(buf)
+    if n >= 24 and buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", buf[16:24])
+        return int(w), int(h), "png"
+    if n >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return int(w), int(h), "gif"
+    if (
+        n >= 26
+        and buf[:2] == b"BM"
+        # require a known DIB header size so ASCII text starting "BM"
+        # can't false-positive (40=INFO, 108=V4, 124=V5)
+        and struct.unpack("<I", buf[14:18])[0] in (40, 108, 124)
+    ):
+        w, h = struct.unpack("<ii", buf[18:26])
+        return int(w), abs(int(h)), "bmp"  # negative height = top-down rows
+    if n >= 4 and buf[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to a start-of-frame (SOF0..SOF15,
+        # minus the non-frame C4/C8/CC markers)
+        i = 2
+        while i + 4 <= n:
+            if buf[i] != 0xFF:
+                return None  # broken stream
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                return int(w), int(h), "jpeg"
+            i += 2 + seg_len
+        return None
+    return None
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -52,43 +111,44 @@ DECODE_SCHEMA = T.StructType(
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """Decode metadata per binary payload.
+    """Decode metadata per binary payload, per-row decoder cascade:
 
-    Real codec slot: with PIL installed the kernel is
-    ``Image.open(BytesIO(buf)).size``; without it, pinned fake dims
-    derived from header byte + length (decoder column says which ran).
+      pil  — full codec (when PIL is installed; not in this container)
+      hdr  — dependency-free header probe (``probe_image_dims``): REAL
+             dims struct-parsed from PNG/GIF/JPEG/BMP containers
+      stub — pinned deterministic fake dims for unrecognized payloads
+             (keeps the text-bytes twin queries exact)
+
+    The ``decoder`` column records which kernel produced each row.
     """
 
     def run(batches):
         pil = _try_pil()
+        import io
+
+        def dims(b):
+            if pil is not None:  # pragma: no cover - codec absent here
+                try:
+                    w, h = pil.open(io.BytesIO(b)).size
+                    return w, h, "pil"
+                except Exception:
+                    pass
+            probed = probe_image_dims(b)
+            if probed is not None:
+                return probed[0], probed[1], "hdr"
+            return (b[0] % 64) + 1 if len(b) else 0, (len(b) % 64) + 1, "stub"
+
         for pdf in batches:
             raw = pdf[payload_col]
-            n = raw.map(len)
-            if pil is not None:  # pragma: no cover - codec absent here
-                import io
-
-                def dims(b):
-                    try:
-                        return pil.open(io.BytesIO(b)).size
-                    except Exception:
-                        return (0, 0)
-
-                wh = raw.map(dims)
-                w = wh.map(lambda t: t[0])
-                h = wh.map(lambda t: t[1])
-                dec = "pil"
-            else:
-                w = raw.map(lambda b: (b[0] % 64) + 1 if len(b) else 0)
-                h = (n % 64) + 1
-                dec = "stub"
+            whd = [dims(b) for b in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": n.astype("int32"),
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
+                    "n_bytes": raw.map(len).astype("int32"),
+                    "width": pd.Series([t[0] for t in whd], index=pdf.index, dtype="int32"),
+                    "height": pd.Series([t[1] for t in whd], index=pdf.index, dtype="int32"),
                     "content_md5": raw.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "decoder": dec,
+                    "decoder": pd.Series([t[2] for t in whd], index=pdf.index, dtype=object),
                 }
             )
 

@@ -58,6 +58,7 @@ def extract_turns(
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     partitions: int | None = None,
     repartition: bool | str = "auto",
+    stage_acc: dict | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, ...) -> extracted turns.
 
@@ -66,20 +67,29 @@ def extract_turns(
     cluster scales linearly — no grouping, no shuffle beyond the one
     explicit balancing repartition (skippable when the upstream layout
     is already balanced, e.g. fresh parquet splits).
+
+    ``stage_acc``: optional dict of Spark accumulators keyed
+    segment/classify/assemble — each task adds its kernel-phase CPU
+    seconds, giving a measured per-job stage-cost profile (the durable
+    recast of the reference's weighted progress, core.clj:108-165).
     """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(taught_prototypes())
 
     def run(batches):
         protos, labels, keep = bc.value
+        tm: dict | None = {} if stage_acc is not None else None
         for pdf in batches:
-            res = extract_batch(pdf["text"], cfg, protos, labels, keep)
+            res = extract_batch(pdf["text"], cfg, protos, labels, keep, timings=tm)
             out = pdf[["conv_id", "turn_idx", "role"]].copy()
             out["extracted_text"] = res["extracted_text"].values
             out["spans"] = res["spans"].values
             out["n_blocks"] = res["n_blocks"].values
             out["unknown_blocks"] = res["unknown_blocks"].values
             yield out
+        if stage_acc is not None and tm:
+            for k, acc in stage_acc.items():
+                acc.add(tm.get(k, 0.0))
 
     src = df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text")
     p = partitions or cfg.repartition_partitions or spark.sparkContext.defaultParallelism

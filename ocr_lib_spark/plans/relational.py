@@ -565,21 +565,59 @@ WHERE rnk = ((n - 1) * q) // 100 + 1
 """
 
 
-# --- approximate sketches (HLL / t-digest) ----------------------------------
-# No DuckDB oracle ON PURPOSE: sketch values are implementation-defined
-# (Spark HLL++ vs DuckDB's HLL disagree by design), so the driver records
-# the weaker rows-only check for this one query; the EXACT twins of both
-# estimates are oracle-verified elsewhere (distinct_user_events,
-# percentile_pick). rsd pinned so the result is deterministic per engine.
+# --- approximate sketches (HLL / t-digest), BOUNDS-VERIFIED ------------------
+# Raw sketch values are implementation-defined (Spark HLL++ vs DuckDB HLL
+# disagree by design), so the query emits (a) the EXACT companions —
+# hash-verified against DuckDB — and (b) booleans asserting each sketch
+# landed within its configured error bounds, which the oracle pins TRUE.
+# A broken sketch now FAILS the driver's hash gate (round 1 it could not:
+# the check was rows-only). Error bounds: HLL++ |approx−exact| ≤ 3·rsd·
+# exact (+1 slack for tiny groups); percentile_approx(accuracy=10000)
+# must land inside the exact [p45, p55] band.
+
+_SKETCH_RSD = 0.01
+
 
 def _sketches(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_count_distinct("props", rsd=0.01).alias("approx_props"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    a = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_SKETCH_RSD).alias("a_users"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("props", rsd=_SKETCH_RSD).alias("a_props"),
+        F.countDistinct("props").alias("n_props"),
+        F.percentile_approx("value", 0.5, 10000).alias("a_p50"),
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
         F.count("*").alias("n_rows"),
     )
+    tol = lambda exact: 3 * _SKETCH_RSD * exact + 1  # noqa: E731
+    return a.select(
+        "event_type",
+        "n_users",
+        "n_props",
+        "n_rows",
+        (F.abs(F.col("a_users") - F.col("n_users")) <= tol(F.col("n_users"))).alias(
+            "users_within_3rsd"
+        ),
+        (F.abs(F.col("a_props") - F.col("n_props")) <= tol(F.col("n_props"))).alias(
+            "props_within_3rsd"
+        ),
+        ((F.col("a_p50") >= F.col("lo")) & (F.col("a_p50") <= F.col("hi"))).alias(
+            "p50_within_band"
+        ),
+    )
+
+
+_O_SKETCHES = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT props) AS n_props,
+       COUNT(*) AS n_rows,
+       TRUE AS users_within_3rsd,
+       TRUE AS props_within_3rsd,
+       TRUE AS p50_within_band
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES = {
@@ -599,5 +637,5 @@ QUERIES = {
     "cube_orders": QueryDef(_cube_orders, _O_CUBE, "CUBE over order status x priority"),
     "salted_heavy_hitter": QueryDef(_salted_heavy_hitter, _O_SALTED, "salted two-phase agg (skew handling, core.clj:1519-1589)"),
     "percentile_pick": QueryDef(_percentile_pick, _O_PCT, "exact order-statistic percentiles (p50/p90/p99)"),
-    "approx_sketches": QueryDef(_sketches, None, "HLL++ distinct + t-digest median sketches (rows-only: sketch values are engine-defined)"),
+    "approx_sketches": QueryDef(_sketches, _O_SKETCHES, "HLL++ / percentile sketches, bounds-verified vs exact companions (|approx-exact| <= 3*rsd)"),
 }

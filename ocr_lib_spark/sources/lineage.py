@@ -5,20 +5,45 @@ that vanish with the process. This engine makes progress durable: work
 is split into deterministic hash buckets of conv_id; each completed
 bucket commits (a) its extracted output partition and (b) one lineage
 row (FIXTURES.md §4 schema). A re-run skips buckets that already have a
-committed lineage row — idempotent checkpoint-resume (north_rule), the
-same idea as Structured Streaming's idempotent sinks but for batch.
+committed lineage row FOR THE SAME INPUT SNAPSHOT — idempotent
+checkpoint-resume (north_rule), the same idea as Structured Streaming's
+idempotent sinks but for batch.
 
-Layout (works on any filesystem; Iceberg snapshot semantics would
-replace the directory protocol when the runtime ships the jars —
-gated behind try_iceberg()):
+Snapshot semantics: ``input_snapshot_id`` keys every resume decision.
+``parquet_snapshot_id()`` derives a content-addressed id from the input
+file listing (names + sizes), so re-running over a changed input
+invalidates both the staging layout and every committed bucket —
+exactly what an Iceberg snapshot id gives, realized on plain parquet.
+
+Iceberg status (verified this sandbox): no iceberg-spark-runtime jar is
+baked in and the container has no network, so the catalog path cannot
+be exercised here; ``try_iceberg()`` gates it. On a real cluster, flip
+it on with
+
+    spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+
+and substitute the table's ``snapshot_id()`` for ``parquet_snapshot_id``
+— the resume contract (snapshot+bucket keyed lineage rows) is identical.
+
+Layout (works on any filesystem):
 
     out_dir/
+      staging/                    __bucket-partitioned one-pass shuffle
+      staging_snapshot.txt        snapshot id the staging was built from
       data/bucket=K/*.parquet     committed atomically per bucket
       lineage/bucket=K.parquet    one-row lineage commit marker
+
+Per-stage timing (lineage schema v2): each lineage row carries
+segment_ms / classify_ms / assemble_ms (kernel-phase CPU time summed
+across tasks via accumulators) alongside total wall_ms — the durable,
+MEASURED recast of the reference's hard-coded stage-progress weights
+(core.clj:108-165: grouping 46% / matching 36% / ...).
 """
 
 from __future__ import annotations
 
+import hashlib
 import time
 from pathlib import Path
 
@@ -30,7 +55,8 @@ from ocr_lib_spark.pipeline import extract_turns
 
 LINEAGE_SCHEMA = (
     "input_snapshot_id string, partition_hash string, bucket int, "
-    "turn_count long, bytes_processed long, wall_ms long, status string"
+    "turn_count long, bytes_processed long, wall_ms long, "
+    "segment_ms long, classify_ms long, assemble_ms long, status string"
 )
 
 
@@ -47,6 +73,19 @@ def try_iceberg(spark) -> bool:
         return False
 
 
+def parquet_snapshot_id(input_path: str) -> str:
+    """Content-addressed snapshot id for a parquet directory: sha256
+    over the sorted (relative name, size) listing of data files. Any
+    append/rewrite/compaction changes the id; a byte-identical layout
+    keeps it — the plain-filesystem twin of an Iceberg snapshot id."""
+    root = Path(input_path)
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.parquet")):
+        h.update(str(p.relative_to(root)).encode())
+        h.update(str(p.stat().st_size).encode())
+    return f"parquet:{h.hexdigest()[:16]}"
+
+
 def bucket_of(conv_id_col, n_buckets: int):
     """Deterministic bucket: positive mod of a stable hash of conv_id.
     Salting-compatible: bucketing keys the *checkpoint* unit; the heavy
@@ -54,15 +93,20 @@ def bucket_of(conv_id_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_id_col), F.lit(n_buckets)).cast("int")
 
 
-def committed_buckets(spark, out_dir: str) -> set[int]:
+def committed_buckets(spark, out_dir: str, input_snapshot_id: str | None = None) -> set[int]:
+    """Buckets with a committed lineage row — for THIS snapshot when
+    ``input_snapshot_id`` is given (rows committed against a different
+    snapshot are stale and do not block re-processing)."""
     ldir = Path(out_dir) / "lineage"
     if not ldir.exists():
         return set()
     files = sorted(str(p) for p in ldir.glob("bucket=*.parquet"))
     if not files:
         return set()
-    rows = spark.read.parquet(*files).where(F.col("status") == "committed").collect()
-    return {r["bucket"] for r in rows}
+    rows = spark.read.parquet(*files).where(F.col("status") == "committed")
+    if input_snapshot_id is not None:
+        rows = rows.where(F.col("input_snapshot_id") == input_snapshot_id)
+    return {r["bucket"] for r in rows.collect()}
 
 
 def run_with_resume(
@@ -75,9 +119,11 @@ def run_with_resume(
 ) -> int:
     """Run extraction bucket-by-bucket, committing lineage per bucket.
 
-    Returns the number of buckets processed in THIS run (already
-    committed buckets are skipped). ``fail_after`` injects a crash after
-    N bucket commits — used by the resume tests.
+    Returns the number of buckets processed in THIS run (buckets already
+    committed *for this input snapshot* are skipped; a changed snapshot
+    reprocesses everything, including rebuilding the staging layout).
+    ``fail_after`` injects a crash after N bucket commits — used by the
+    resume tests.
 
     Two passes over the data, total — scale-critical: a per-bucket
     filter on ``hash(conv_id) % N`` cannot push down to a parquet scan,
@@ -86,7 +132,8 @@ def run_with_resume(
 
       1. ONE staging pass shuffles the source into a
          ``__bucket``-partitioned parquet layout (resume-safe: skipped
-         when its _SUCCESS marker exists);
+         when its _SUCCESS marker exists AND it was built from this
+         snapshot);
       2. each bucket job reads ONLY its partition directory (partition
          pruning on ``__bucket``), extracts, commits output + lineage.
 
@@ -95,34 +142,50 @@ def run_with_resume(
     """
     spark = transcripts.sparkSession
     n_buckets = n_buckets or cfg.lineage_buckets
-    done = committed_buckets(spark, out_dir)
+    done = committed_buckets(spark, out_dir, input_snapshot_id)
     out = Path(out_dir)
     (out / "data").mkdir(parents=True, exist_ok=True)
     (out / "lineage").mkdir(parents=True, exist_ok=True)
 
     staging = out / "staging"
-    if not (staging / "_SUCCESS").exists():
+    marker = out / "staging_snapshot.txt"
+    staging_current = (
+        (staging / "_SUCCESS").exists()
+        and marker.exists()
+        and marker.read_text() == input_snapshot_id
+    )
+    if not staging_current:
         (
             transcripts.withColumn("__bucket", bucket_of(F.col("conv_id"), n_buckets))
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(str(staging))
         )
+        marker.write_text(input_snapshot_id)
     src = spark.read.parquet(str(staging))
+    # kernel-phase accumulators: tasks add segment/classify/assemble CPU
+    # seconds; per-bucket deltas land in the lineage row — the measured
+    # twin of the reference's hard-coded stage weights (core.clj:153-164)
+    acc = {
+        k: spark.sparkContext.accumulator(0.0)
+        for k in ("segment", "classify", "assemble")
+    }
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
         t0 = time.monotonic()
+        before = {k: a.value for k, a in acc.items()}
         # partition-pruned read: only staging/__bucket=b is scanned
         part = src.where(F.col("__bucket") == b).drop("__bucket")
         stats = part.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("nbytes"),
         ).collect()[0]
-        extracted = extract_turns(part, cfg, repartition=False)
+        extracted = extract_turns(part, cfg, repartition=False, stage_acc=acc)
         extracted.write.mode("overwrite").parquet(str(out / "data" / f"bucket={b}"))
         wall_ms = int((time.monotonic() - t0) * 1000)
+        stage_ms = {k: int((a.value - before[k]) * 1000) for k, a in acc.items()}
         lineage_row = [
             (
                 input_snapshot_id,
@@ -131,6 +194,9 @@ def run_with_resume(
                 int(stats["n"]),
                 int(stats["nbytes"]),
                 wall_ms,
+                stage_ms["segment"],
+                stage_ms["classify"],
+                stage_ms["assemble"],
                 "committed",
             )
         ]

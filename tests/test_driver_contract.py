@@ -47,10 +47,10 @@ def test_every_query_has_oracle():
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
     missing = set(qs) - set(os_)
-    # approx_sketches is rows-only BY DESIGN: HLL++/t-digest values are
-    # engine-defined, so no cross-engine oracle exists; its exact twins
-    # (distinct_user_events, percentile_pick) are oracle-verified
-    assert missing == {"approx_sketches"}, f"unexpected rows-only queries: {missing}"
+    # every query is oracle-verified — approx_sketches included since
+    # round 2: raw sketch values are engine-defined, so it emits exact
+    # companions plus within-bounds booleans the oracle pins TRUE
+    assert missing == set(), f"unexpected rows-only queries: {missing}"
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

@@ -65,6 +65,65 @@ def test_frame_sample_offsets_and_digests(payloads):
     assert {r.offset for r in by_doc[3]} == {0}
 
 
+import struct
+
+# hand-built container headers (format specs are public; dims chosen odd
+# on purpose so a stub could never coincide)
+PNG_BYTES = (
+    b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+    + struct.pack(">II", 641, 483) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+)
+GIF_BYTES = b"GIF89a" + struct.pack("<HH", 321, 203) + b"\x00" * 8
+JPEG_BYTES = (
+    b"\xff\xd8"
+    + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0 (len 16 = 2 + 14 payload)
+    + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 1083, 1921)
+    + b"\x03" + b"\x00" * 9  # SOF0: height 1083, width 1921
+)
+BMP_BYTES = (
+    b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 801, -601)
+    + b"\x00" * 4
+)
+
+
+def test_probe_image_dims_exact_headers():
+    from ocr_lib_spark.operators.multimodal import probe_image_dims
+
+    assert probe_image_dims(PNG_BYTES) == (641, 483, "png")
+    assert probe_image_dims(GIF_BYTES) == (321, 203, "gif")
+    assert probe_image_dims(JPEG_BYTES) == (1921, 1083, "jpeg")
+    assert probe_image_dims(BMP_BYTES) == (801, 601, "bmp")  # top-down height
+    # non-images: text, text starting 'BM', truncated JPEG, empty
+    assert probe_image_dims(b"hello world") is None
+    assert probe_image_dims(b"BMg text that starts with BM" + b"x" * 30) is None
+    assert probe_image_dims(b"\xff\xd8\xff\xe0\x00") is None
+    assert probe_image_dims(b"") is None
+
+
+def test_decode_meta_hdr_path_mixed_batch(spark):
+    """Real header dims for image payloads, stub for the rest — per row,
+    in one mixed Arrow batch."""
+    rows = [
+        (1, PNG_BYTES),
+        (2, JPEG_BYTES),
+        (3, b"plain text payload"),
+        (4, GIF_BYTES),
+        (5, BMP_BYTES),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (out[1].width, out[1].height, out[1].decoder) == (641, 483, "hdr")
+    assert (out[2].width, out[2].height, out[2].decoder) == (1921, 1083, "hdr")
+    assert out[3].decoder == "stub"
+    assert (out[4].width, out[4].height, out[4].decoder) == (321, 203, "hdr")
+    assert (out[5].width, out[5].height, out[5].decoder) == (801, 601, "hdr")
+
+
+def test_byte_histogram_rejects_non_power_of_two(payloads):
+    with pytest.raises(ValueError, match="power of two"):
+        byte_histogram(payloads, bins=10)
+
+
 def test_multimodal_partition_invariance(payloads):
     one = byte_histogram(payloads.repartition(1)).orderBy("doc_id").collect()
     many = byte_histogram(payloads.repartition(7)).orderBy("doc_id").collect()
