@@ -155,38 +155,48 @@ def min_gram_hash(text: Column | str, k: int = 8) -> Column:
 
 
 def rolling_hashes_pandas(texts, k: int = 8):
-    """Vectorized O(n) twin of (rolling_hash, min_gram_hash) for one
-    pandas Series of texts — prefix hashing: P[i+1] = (P[i]·B + c_i)
-    mod M, gram(i) = (P[i+k] - P[i]·B^k) mod M. Same arithmetic mod
-    M, so results are bit-identical to the Catalyst expressions and the
-    DuckDB oracle; used where a profile shows the O(n·k) expression
-    dominating (pandas_udf in extraction-adjacent plans)."""
+    """Fully vectorized twin of (rolling_hash, min_gram_hash) for one
+    pandas Series of texts. Identity used: the fold
+    ``acc = (acc·B + c_i) mod M`` equals ``Σ c_i·B^{n-1-i} mod M``, so
+    with a shared power table (one per batch, sized to the longest doc)
+    both hashes are pure numpy — no per-character Python loop:
+
+      rk_hash   = (c · pows_rev mod M) summed mod M      (O(n) numpy)
+      gram(i)   = Σ_j c_{i+j}·B^{k-1-j} mod M  via sliding windows
+      min_gram8 = min over grams (whole-text hash when n <= k)
+
+    Overflow audit (int64, M = 2^31-1): term < 2^21·2^31 = 2^52; gram
+    sum over k=8 < 2^55; rk sum over n ≤ 2^20 chars < 2^51. Exact, and
+    bit-identical to the Catalyst expressions and the DuckDB oracle —
+    codepoint hashing (F.ascii / DuckDB ascii both return codepoints)."""
     import numpy as np
     import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
 
-    bk = pow(RK_BASE, k, RK_MOD)
+    cps = [
+        np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+        if isinstance(t, str) and t
+        else None
+        for t in texts.astype(object)
+    ]
+    max_n = max((len(c) for c in cps if c is not None), default=0)
+    pows = np.ones(max(max_n, k), dtype=np.int64)
+    for j in range(1, len(pows)):  # shared across the batch; amortized
+        pows[j] = pows[j - 1] * RK_BASE % RK_MOD
+    pw = pows[k - 1 :: -1][:k]  # [B^{k-1} .. B^0]
+
     rk_out = np.zeros(len(texts), dtype=np.int64)
     mg_out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.astype(object)):
-        if not isinstance(t, str) or not t:
+    for i, c in enumerate(cps):
+        if c is None:
             continue
-        # hash Unicode CODEPOINTS (not ascii-replaced bytes): F.ascii and
-        # DuckDB ascii() both return the codepoint, so this is the only
-        # encoding under which the three twins stay bit-identical on
-        # non-ASCII text
-        c = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
         n = len(c)
-        p = np.zeros(n + 1, dtype=np.int64)
-        acc = 0
-        # sequential fold is required (each prefix depends on the last);
-        # numpy buffers keep per-char cost at C-array speed
-        for j in range(n):
-            acc = (acc * RK_BASE + int(c[j])) % RK_MOD
-            p[j + 1] = acc
-        rk_out[i] = acc
+        rk = int((c * pows[n - 1 :: -1] % RK_MOD).sum() % RK_MOD)
+        rk_out[i] = rk
         if n <= k:
-            mg_out[i] = acc
+            mg_out[i] = rk
         else:
-            grams = (p[k:] - (p[:-k] * bk) % RK_MOD) % RK_MOD
+            w = sliding_window_view(c, k)
+            grams = (w * pw[None, :] % RK_MOD).sum(axis=1) % RK_MOD
             mg_out[i] = int(grams.min())
     return pd.DataFrame({"rk_hash": rk_out, "min_gram8": mg_out})
