@@ -60,6 +60,16 @@ class ExtractionConfig:
     #: core_helper.clj:333-335).
     split_min_unit_chars: int = 8
 
+    #: classifier variant: "argmax" = single-vector nearest prototype
+    #: with strictly-greater-wins/first-on-tie fold (check-matching-fn,
+    #: core.clj:1020-1069); "shift_avg" = the dev pipeline's
+    #: translation-tolerant matcher (core_helper.clj:259-322): scores
+    #: the block AND its one-char head/tail-trimmed variants (the 1-D
+    #: text analog of the (0,-1),(-1,0),(-1,-1) pixel shifts), averages
+    #: the four scores, tie-breaks by smallest average difference
+    #: (find-max, core_helper.clj:226-240), then first prototype.
+    classifier: str = "argmax"
+
     #: number of hash buckets for checkpoint/lineage partitioning.
     lineage_buckets: int = 32
 

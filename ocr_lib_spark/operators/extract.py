@@ -56,10 +56,12 @@ def extract_batch(
         prototypes, labels, keep = taught_prototypes()
     _t0 = _time.perf_counter()
 
+    shifted = cfg.classifier == "shift_avg"
     per_row_blocks: list[list[Block]] = []
     texts: list[list[str]] = []
     # flat classification workload across the whole batch
     flat_feats: list[np.ndarray] = []
+    flat_raw: list[str] = []  # raw blocks (shift_avg variant re-features shifts)
     flat_ref: list[tuple[int, int]] = []  # (row_i, block_i)
 
     for ri, payload in enumerate(payloads.astype(object)):
@@ -84,12 +86,19 @@ def extract_batch(
         texts.append([_block_text(b) for b in blocks])
         for bi, b in enumerate(blocks):
             if b.forced_label is None and len(texts[ri][bi]) >= cfg.min_block_chars:
-                flat_feats.append(block_features(b.raw))
+                if shifted:
+                    flat_raw.append(b.raw)
+                else:
+                    flat_feats.append(block_features(b.raw))
                 flat_ref.append((ri, bi))
 
     _t1 = _time.perf_counter()
     # one vectorized nearest-prototype pass for the whole batch
-    if flat_feats:
+    if shifted and flat_ref:
+        from ocr_lib_spark.operators.features import classify_shifted
+
+        best, score = classify_shifted(flat_raw, prototypes)
+    elif flat_feats:
         best, score = classify(np.stack(flat_feats), prototypes)
     else:
         best, score = np.zeros(0, dtype=np.int64), np.zeros(0)

@@ -129,3 +129,50 @@ def classify(features: np.ndarray, prototypes: np.ndarray) -> tuple[np.ndarray, 
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     best = np.argmax(s, axis=1)
     return best, s[np.arange(s.shape[0]), best]
+
+
+#: the 1-D text analog of the reference's pixel translations
+#: (0,0), (0,-1), (-1,0), (-1,-1): chars trimmed from (head, tail)
+SHIFT_VARIANTS = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def classify_shifted(
+    raw_blocks: list[str], prototypes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Translation-tolerant matcher — the dev pipeline's shift-averaged
+    scorer (pronadji-slovo/odredi-nepoznato-slovo, core_helper.clj:259-322):
+
+      1. score the block AND its head/tail one-char-trimmed variants
+         (the text recast of translating the dot set by (0,-1), (-1,0),
+         (-1,-1)) against every prototype;
+      2. average the four scores per prototype (the reference averages
+         the four intersection counts);
+      3. argmax over the averaged score; EXACT ties broken by the
+         smallest averaged difference — here the L∞ feature distance,
+         an independent secondary criterion like the reference's
+         difference count (find-max, core_helper.clj:226-240) — then by
+         first prototype index.
+
+    Returns (best index, averaged score) aligned with ``raw_blocks``.
+    """
+    n = len(raw_blocks)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    avg_score = np.zeros((n, prototypes.shape[0]))
+    avg_linf = np.zeros((n, prototypes.shape[0]))
+    for head, tail in SHIFT_VARIANTS:
+        feats = np.stack(
+            [
+                block_features(b[head : len(b) - tail or None])
+                for b in raw_blocks
+            ]
+        )
+        avg_score += match_scores(feats, prototypes)
+        avg_linf += np.abs(feats[:, None, :] - prototypes[None, :, :]).max(axis=2)
+    avg_score /= len(SHIFT_VARIANTS)
+    avg_linf /= len(SHIFT_VARIANTS)
+    best = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        cand = np.flatnonzero(avg_score[i] == avg_score[i].max())
+        best[i] = cand[np.argmin(avg_linf[i, cand])]  # argmin: first on tie
+    return best, avg_score[np.arange(n), best]

@@ -268,6 +268,33 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _q_stream_extract(spark, sf_dir):
+    """Streaming extraction under the driver's own gate: the transcript
+    fixture is staged once as a multi-file parquet source, driven to
+    completion through the STREAMING plan (file source split into
+    micro-batches via maxFilesPerTrigger, memory sink), and the sink
+    table is compared against the same closed-form oracle as
+    extract_text — stream == batch, externally verified (round 1 this
+    equality was pytest-only)."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.streaming.extract_stream import run_stream_to_memory
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_src_{tag}"
+    if not _Path(src, "_SUCCESS").exists():
+        transcripts_from_documents(spark, sf_dir).repartition(6).write.mode(
+            "overwrite"
+        ).parquet(src)
+    name = f"stream_extract_{tag}"
+    spark.catalog.dropTempView(name)  # no-op when absent; sink recreates it
+    run_stream_to_memory(spark, src, name=name)
+    return spark.table(name).select(
+        "conv_id", "turn_idx", "extracted_text", "n_blocks"
+    )
+
+
 QUERIES = {
     "extract_text": QueryDef(
         _q_extract_text,
@@ -308,5 +335,10 @@ QUERIES = {
         _q_session_window,
         _ORACLE_SESSION_WINDOW,
         "Spark-native session windows (30 min gap) per user",
+    ),
+    "stream_extract_text": QueryDef(
+        _q_stream_extract,
+        _ORACLE_TEXT,
+        "streaming extraction (file-source micro-batches -> memory sink) vs the batch oracle",
     ),
 }

@@ -267,3 +267,53 @@ def test_block_matches_equals_reference_regex_fuzz():
         ref = [(m.start(), m.end(), m.start(2), m.end(2))
                for m in BLOCK_TAG_RE.finditer(s)]
         assert ref == _block_matches(s), repr(s)
+
+
+# --- shift-tolerant matcher variant (core_helper.clj:259-322) ---------------
+
+def test_classify_shifted_tie_break_min_difference_then_first():
+    """Pinned semantics: averaged score argmax; EXACT score ties broken
+    by smallest averaged L-inf difference (the find-max min-difference
+    rule, core_helper.clj:226-240); remaining ties keep the first
+    prototype."""
+    from ocr_lib_spark.operators.features import classify_shifted
+
+    # uniform single-token block: every shift variant has the identical
+    # feature vector [0, 0, 1, 0, 0, 1]
+    raw = ["x" * 40]
+    f = np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0])
+    p0 = f.copy(); p0[0] = 0.2              # L1 sum 0.2, L-inf 0.2
+    p1 = f.copy(); p1[1] = 0.1; p1[3] = 0.1  # L1 sum 0.2, L-inf 0.1
+    p2 = p0.copy()
+    best, score = classify_shifted(raw, np.stack([p0, p1, p2]))
+    assert best[0] == 1  # equal avg scores -> min L-inf difference wins
+    best2, _ = classify_shifted(raw, np.stack([p0, p2]))
+    assert best2[0] == 0  # fully tied -> first prototype retained
+
+    # strictly greater score beats any difference ordering
+    p3 = f.copy()  # exact match
+    best3, score3 = classify_shifted(raw, np.stack([p0, p3]))
+    assert best3[0] == 1 and score3[0] == pytest.approx(100.0)
+
+
+def test_classify_shifted_translation_tolerance():
+    """One char of junk on the block boundary barely moves the averaged
+    score (the point of shift averaging), while the plain single-vector
+    score moves more."""
+    from ocr_lib_spark.operators.features import classify_shifted
+
+    protos, labels, _ = taught_prototypes()
+    clean = PROSE
+    dirty = ">" + PROSE  # stray markup char glued to the block head
+    b_clean, s_clean = classify_shifted([clean], protos)
+    b_dirty, s_dirty = classify_shifted([dirty], protos)
+    assert labels[b_clean[0]] == labels[b_dirty[0]] == "content"
+    assert abs(s_clean[0] - s_dirty[0]) < 2.0
+
+
+def test_shift_avg_classifier_is_config_selectable():
+    """extract_batch runs the variant end-to-end and still extracts the
+    content from a standard payload."""
+    cfg = ExtractionConfig(classifier="shift_avg")
+    out = extract_batch(pd.Series([build_payload(PROSE, 1)]), cfg)
+    assert out.extracted_text[0] == PROSE
