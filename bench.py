@@ -76,6 +76,8 @@ HEADLINE = [
     "conv_dedup",
     "session_window_agg",
     "near_dup_verified",
+    "token_packing",
+    "stratified_sample",
 ]
 
 

@@ -476,6 +476,112 @@ WHERE len(list_intersect(x.s, y.s))::DOUBLE
         / len(list_distinct(list_concat(x.s, y.s))) >= {NEAR_DUP_JACCARD_T}
 """
 
+# --- sequence packing: concat-and-chunk context-window packing ---------------
+# The training-pipeline step after dedup/filtering: documents are laid
+# end-to-end in a deterministic order WITHIN a shard and chopped into
+# fixed-token-budget chunks. Per-shard packing is the 100 TB shape —
+# the window sort is partition-local (parallel across shards, one
+# shuffle on the shard key), never a global sort.
+
+PACK_BUDGET = 512  # tokens per packed chunk
+PACK_SHARDS = 16
+
+
+def _token_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ocr_lib_spark.functions.text import bpe_token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        bpe_token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_idx"),
+        (start % PACK_BUDGET).cast("long").alias("chunk_offset"),
+    )
+
+
+def _token_packing_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(regexp_extract_all(text, '{bpe_sql}'))::INT AS n_tokens
+  FROM documents),
+s AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       (start // {PACK_BUDGET})::BIGINT AS chunk_idx,
+       (start % {PACK_BUDGET})::BIGINT AS chunk_offset
+FROM s
+"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+# Quality-aware downsampling by language band: keep rate per stratum,
+# membership decided by a stable content hash (md5-prefix mod 1000), so
+# the sample is reproducible across engines, runs, and cluster sizes —
+# no RNG, no global state; scales as a pure map (zero shuffles).
+
+SAMPLE_RATES = {"vowelic": 1000, "en-like": 500, "cons-lite": 250, "consonantal": 100}
+
+
+def _stratified_sample(spark, sf_dir):
+    from ocr_lib_spark.functions.text import hex_bucket, lang_id
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        hex_bucket(F.col("text"), 1000).cast("int").alias("h"),
+    )
+    expr = None
+    for lang, permille in SAMPLE_RATES.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(permille))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(permille))
+        )
+    return (
+        d.withColumn("keep_permille", expr.otherwise(F.lit(0)).cast("int"))
+        .where(F.col("h") < F.col("keep_permille"))
+        .select("doc_id", "lang", "h", "keep_permille")
+    )
+
+
+_O_STRATIFIED = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN vr >= 0.42 THEN 'vowelic' WHEN vr >= 0.30 THEN 'en-like'
+              WHEN vr >= 0.18 THEN 'cons-lite' ELSE 'consonantal' END AS lang,
+         (('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)::INT AS h
+  FROM (SELECT doc_id, text,
+               (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1) AS vr
+        FROM documents))
+SELECT doc_id, lang, h,
+       (CASE lang WHEN 'vowelic' THEN 1000 WHEN 'en-like' THEN 500
+                  WHEN 'cons-lite' THEN 250 ELSE 100 END)::INT AS keep_permille
+FROM t
+WHERE h < CASE lang WHEN 'vowelic' THEN 1000 WHEN 'en-like' THEN 500
+                    WHEN 'cons-lite' THEN 250 ELSE 100 END
+"""
+
+
 QUERIES = {
     "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
     "token_fingerprints": QueryDef(
@@ -491,4 +597,14 @@ QUERIES = {
     "lsh_candidate_pairs": QueryDef(_lsh_pairs, _lsh_pairs_oracle(), "banded LSH near-dup candidates"),
     "near_dup_verified": QueryDef(_near_dup_verified, _near_dup_verified_oracle(), "canonical MinHash-LSH near-dup: candidates -> exact Jaccard >= tau"),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
+    "token_packing": QueryDef(
+        _token_packing,
+        _token_packing_oracle(),
+        "concat-and-chunk context-window packing (per-shard window, no global sort)",
+    ),
+    "stratified_sample": QueryDef(
+        _stratified_sample,
+        _O_STRATIFIED,
+        "deterministic hash-based stratified sampling by language band (zero-shuffle map)",
+    ),
 }
