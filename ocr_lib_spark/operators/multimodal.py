@@ -196,6 +196,61 @@ def byte_histogram(
     return df.select(id_col, payload_col).mapInPandas(run, schema=HIST_SCHEMA)
 
 
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("mean_byte", T.IntegerType()),
+    ]
+)
+
+
+def byte_thumbnail(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", cells: int = 16
+) -> DataFrame:
+    """Resize/downsample over an opaque media payload: the byte stream
+    is split into ``cells`` contiguous buckets (bucket i covers
+    [n·i/cells, n·(i+1)/cells)) and each bucket reduces to its integer
+    mean byte — the 1-D recast of image thumbnailing (area-average
+    resize) that stays real without codecs. One cumsum per payload
+    (numpy); output rows bounded by docs × cells; zero shuffles. A true
+    pixel resize (PIL ``Image.resize``) drops into the same shape when
+    codecs exist. Emits long-format scalar rows (driver-gate friendly).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, cs, vs = [], [], [], []
+            cell_idx = np.arange(cells, dtype=np.int64)
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                n = len(b)
+                if n:
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    csum = np.concatenate(([0], np.cumsum(arr)))
+                    lo = n * cell_idx // cells
+                    hi = n * (cell_idx + 1) // cells
+                    lens = hi - lo
+                    sums = csum[hi] - csum[lo]
+                    vals = np.where(lens > 0, sums // np.maximum(lens, 1), 0)
+                else:
+                    vals = np.zeros(cells, dtype=np.int64)
+                ids.extend([did] * cells)
+                ns.extend([n] * cells)
+                cs.extend(range(cells))
+                vs.extend(int(v) for v in vals)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(ns, dtype="int32"),
+                    "cell": pd.Series(cs, dtype="int32"),
+                    "mean_byte": pd.Series(vs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=THUMB_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

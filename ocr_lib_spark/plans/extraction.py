@@ -181,6 +181,26 @@ FROM documents CROSS JOIN range(0, 16) AS r(b)
 """
 
 
+def _q_multimodal_thumb(spark, sf_dir):
+    from ocr_lib_spark.operators.multimodal import byte_thumbnail
+
+    return byte_thumbnail(_mm_payload(spark, sf_dir), cells=16)
+
+
+_ORACLE_MM_THUMB = """
+WITH g AS (
+  SELECT doc_id, CAST(n_chars AS INT) AS n_bytes, CAST(r.c AS INT) AS cell,
+         (n_chars * r.c) // 16 AS lo, (n_chars * (r.c + 1)) // 16 AS hi, text
+  FROM documents CROSS JOIN range(0, 16) AS r(c))
+SELECT doc_id, n_bytes, cell,
+       CASE WHEN hi > lo THEN
+         (list_sum(list_transform(split(substring(text, lo + 1, hi - lo), ''),
+                                  ch -> ascii(ch))) // (hi - lo))::INT
+       ELSE 0 END AS mean_byte
+FROM g
+"""
+
+
 def _q_multimodal_frames(spark, sf_dir):
     from ocr_lib_spark.operators.multimodal import frame_sample
 
@@ -325,6 +345,11 @@ QUERIES = {
         _q_multimodal_frames,
         _ORACLE_MM_FRAMES,
         "evenly-spaced frame sampling + digest over binary payloads (pure Catalyst)",
+    ),
+    "multimodal_thumb": QueryDef(
+        _q_multimodal_thumb,
+        _ORACLE_MM_THUMB,
+        "resize/downsample: fixed-grid area-average over payload bytes (one cumsum per doc)",
     ),
     "conv_dedup": QueryDef(
         _q_conv_dedup,

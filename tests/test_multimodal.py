@@ -124,6 +124,21 @@ def test_byte_histogram_rejects_non_power_of_two(payloads):
         byte_histogram(payloads, bins=10)
 
 
+def test_byte_thumbnail_area_average(spark, payloads):
+    from ocr_lib_spark.operators.multimodal import byte_thumbnail
+
+    out = {}
+    for r in byte_thumbnail(payloads, cells=4).collect():
+        out.setdefault(r.doc_id, {})[r.cell] = r.mean_byte
+    # doc 2 = bytes 0..255 -> 4 buckets of 64 consecutive values:
+    # means 31, 95, 159, 223 (integer floor of the arithmetic mean)
+    assert out[2] == {0: 31, 1: 95, 2: 159, 3: 223}
+    # constant payload -> constant cells
+    assert set(out[4].values()) == {ord("x")}
+    # empty payload -> zero cells, still `cells` rows
+    assert out[3] == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
 def test_multimodal_partition_invariance(payloads):
     one = byte_histogram(payloads.repartition(1)).orderBy("doc_id").collect()
     many = byte_histogram(payloads.repartition(7)).orderBy("doc_id").collect()
