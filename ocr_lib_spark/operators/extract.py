@@ -59,10 +59,24 @@ def extract_batch(
     shifted = cfg.classifier == "shift_avg"
     per_row_blocks: list[list[Block]] = []
     texts: list[list[str]] = []
-    # flat classification workload across the whole batch
-    flat_feats: list[np.ndarray] = []
-    flat_raw: list[str] = []  # raw blocks (shift_avg variant re-features shifts)
+    # classification workload across the whole batch, deduplicated by
+    # raw block content: boilerplate (nav/footer/link-farm) repeats
+    # verbatim across payloads (measured 2.6x dup factor corpus-wide),
+    # so each UNIQUE raw block is featurized and classified once per
+    # batch — identical results (the decision is a pure function of the
+    # raw block), fewer featurizations
+    uniq_idx: dict[str, int] = {}
+    uniq_raw: list[str] = []
+    flat_uidx: list[int] = []  # per flat_ref: index into uniq_raw
     flat_ref: list[tuple[int, int]] = []  # (row_i, block_i)
+    text_cache: dict[str, str] = {}
+
+    def cached_block_text(b: Block) -> str:
+        t = text_cache.get(b.raw)
+        if t is None:
+            t = _block_text(b)
+            text_cache[b.raw] = t
+        return t
 
     for ri, payload in enumerate(payloads.astype(object)):
         blocks = segment_payload(payload) if isinstance(payload, str) else []
@@ -83,27 +97,32 @@ def extract_batch(
                     expanded.append(b)
             blocks = expanded
         per_row_blocks.append(blocks)
-        texts.append([_block_text(b) for b in blocks])
+        texts.append([cached_block_text(b) for b in blocks])
         for bi, b in enumerate(blocks):
             if b.forced_label is None and len(texts[ri][bi]) >= cfg.min_block_chars:
-                if shifted:
-                    flat_raw.append(b.raw)
-                else:
-                    flat_feats.append(block_features(b.raw))
+                u = uniq_idx.get(b.raw)
+                if u is None:
+                    u = len(uniq_raw)
+                    uniq_idx[b.raw] = u
+                    uniq_raw.append(b.raw)
+                flat_uidx.append(u)
                 flat_ref.append((ri, bi))
 
     _t1 = _time.perf_counter()
-    # one vectorized nearest-prototype pass for the whole batch
-    if shifted and flat_ref:
+    # one vectorized nearest-prototype pass over the UNIQUE blocks
+    if shifted and uniq_raw:
         from ocr_lib_spark.operators.features import classify_shifted
 
-        best, score = classify_shifted(flat_raw, prototypes)
-    elif flat_feats:
-        best, score = classify(np.stack(flat_feats), prototypes)
+        best, score = classify_shifted(uniq_raw, prototypes)
+    elif uniq_raw:
+        best, score = classify(
+            np.stack([block_features(r) for r in uniq_raw]), prototypes
+        )
     else:
         best, score = np.zeros(0, dtype=np.int64), np.zeros(0)
     assigned: dict[tuple[int, int], tuple[str, float]] = {
-        ref: (labels[best[k]], float(score[k])) for k, ref in enumerate(flat_ref)
+        ref: (labels[best[u]], float(score[u]))
+        for ref, u in zip(flat_ref, flat_uidx)
     }
 
     _t2 = _time.perf_counter()
