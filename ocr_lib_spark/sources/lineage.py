@@ -116,6 +116,7 @@ def run_with_resume(
     n_buckets: int | None = None,
     input_snapshot_id: str = "parquet:v1",
     fail_after: int | None = None,
+    buckets_per_job: int = 1,
 ) -> int:
     """Run extraction bucket-by-bucket, committing lineage per bucket.
 
@@ -138,7 +139,16 @@ def run_with_resume(
          pruning on ``__bucket``), extracts, commits output + lineage.
 
     At cluster scale buckets are coarse (e.g. 4096) and the driver loop
-    is a cheap metadata operation per bucket.
+    is a cheap metadata operation per bucket — but one Spark JOB per
+    bucket still costs scheduler round-trips. ``buckets_per_job`` (>1)
+    processes a GROUP of uncommitted buckets per job: one grouped stats
+    pass, one extraction job written ``partitionBy(bucket)`` (dynamic
+    partition overwrite), then one lineage commit marker per bucket.
+    4096 buckets at buckets_per_job=32 → 128 jobs instead of 4096,
+    identical outputs and resume semantics; the checkpoint GRAIN
+    becomes the group (a crash mid-group re-runs that whole group), and
+    per-bucket stage_ms are the group's kernel totals prorated by each
+    bucket's turn share (exact when buckets_per_job=1).
     """
     spark = transcripts.sparkSession
     n_buckets = n_buckets or cfg.lineage_buckets
@@ -170,40 +180,56 @@ def run_with_resume(
         k: spark.sparkContext.accumulator(0.0)
         for k in ("segment", "classify", "assemble")
     }
+    pending = [b for b in range(n_buckets) if b not in done]
     processed = 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    for gi in range(0, len(pending), max(buckets_per_job, 1)):
+        group = pending[gi : gi + max(buckets_per_job, 1)]
         t0 = time.monotonic()
         before = {k: a.value for k, a in acc.items()}
-        # partition-pruned read: only staging/__bucket=b is scanned
-        part = src.where(F.col("__bucket") == b).drop("__bucket")
-        stats = part.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("nbytes"),
-        ).collect()[0]
-        extracted = extract_turns(part, cfg, repartition=False, stage_acc=acc)
-        extracted.write.mode("overwrite").parquet(str(out / "data" / f"bucket={b}"))
+        # partition-pruned read: only the group's staging/__bucket=K dirs
+        part = src.where(F.col("__bucket").isin(group))
+        stats = {
+            r["__bucket"]: (int(r["n"]), int(r["nbytes"]))
+            for r in part.groupBy("__bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("nbytes"),
+            )
+            .collect()
+        }
+        extracted = extract_turns(
+            part.drop("__bucket"), cfg, repartition=False, stage_acc=acc
+        ).withColumn("bucket", bucket_of(F.col("conv_id"), n_buckets))
+        (
+            extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(str(out / "data"))
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         stage_ms = {k: int((a.value - before[k]) * 1000) for k, a in acc.items()}
-        lineage_row = [
-            (
-                input_snapshot_id,
-                f"xxhash64(conv_id)%{n_buckets}={b}",
-                b,
-                int(stats["n"]),
-                int(stats["nbytes"]),
-                wall_ms,
-                stage_ms["segment"],
-                stage_ms["classify"],
-                stage_ms["assemble"],
-                "committed",
-            )
-        ]
-        spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(out / "lineage" / f"bucket={b}.parquet"))
-        processed += 1
+        group_turns = max(sum(n for n, _ in stats.values()), 1)
+        for b in group:
+            n, nbytes = stats.get(b, (0, 0))
+            share = n / group_turns
+            lineage_row = [
+                (
+                    input_snapshot_id,
+                    f"xxhash64(conv_id)%{n_buckets}={b}",
+                    b,
+                    n,
+                    nbytes,
+                    wall_ms if len(group) == 1 else int(wall_ms * share),
+                    int(stage_ms["segment"] * (1 if len(group) == 1 else share)),
+                    int(stage_ms["classify"] * (1 if len(group) == 1 else share)),
+                    int(stage_ms["assemble"] * (1 if len(group) == 1 else share)),
+                    "committed",
+                )
+            ]
+            spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(out / "lineage" / f"bucket={b}.parquet"))
+        processed += len(group)
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"injected failure after {processed} buckets")
     return processed

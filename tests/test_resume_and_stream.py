@@ -64,6 +64,41 @@ def test_resume_after_injected_failure(spark, transcripts, tmp_path):
     assert int(lin2.classify_ms.sum()) >= 0
 
 
+def test_batched_bucket_jobs_identical_output(spark, transcripts, tmp_path):
+    """buckets_per_job>1 amortizes Spark-job overhead (4096 buckets /
+    32 per job = 128 jobs at scale) with identical output, complete
+    per-bucket lineage, and unchanged resume semantics."""
+    out = str(tmp_path / "batched")
+    n_buckets = 8
+    n = run_with_resume(transcripts, out, n_buckets=n_buckets, buckets_per_job=3)
+    assert n == n_buckets
+
+    lin = read_lineage(spark, out).toPandas()
+    assert len(lin) == n_buckets and lin.bucket.is_unique
+    assert int(lin.turn_count.sum()) == transcripts.count()
+
+    got = _sorted_pdf(read_output(spark, out))
+    exp = _sorted_pdf(extract_turns(transcripts))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # idempotent under the same snapshot, batched or not
+    assert run_with_resume(transcripts, out, n_buckets=n_buckets, buckets_per_job=3) == 0
+    assert run_with_resume(transcripts, out, n_buckets=n_buckets) == 0
+
+    # crash mid-run: fail_after fires at group granularity; resume
+    # completes only the remaining buckets
+    out2 = str(tmp_path / "batched_fail")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_resume(
+            transcripts, out2, n_buckets=n_buckets, buckets_per_job=3, fail_after=3
+        )
+    done = len(read_lineage(spark, out2).toPandas())
+    assert done == 3  # first group of 3 committed
+    n2 = run_with_resume(transcripts, out2, n_buckets=n_buckets, buckets_per_job=3)
+    assert n2 == n_buckets - done
+    pd.testing.assert_frame_equal(_sorted_pdf(read_output(spark, out2)), exp)
+
+
 def test_resume_is_keyed_on_input_snapshot(spark, transcripts, tmp_path):
     """A changed input snapshot invalidates committed buckets AND the
     staging layout: lineage rows committed against snapshot A do not
