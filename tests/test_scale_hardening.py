@@ -132,6 +132,21 @@ def test_simhash_twins_drop_tokenless_docs_identically(spark):
     assert set(fast.doc_id) == {3, 4}
 
 
+def test_ivf_arrow_assignment_equals_relational_twin(spark):
+    """The Arrow centroid-assignment kernel (sequential-order sums) is
+    pinned bit-identical end-to-end to the crossJoin+max_by twin."""
+    from ocr_lib_spark.plans.vectors import _ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    fast = _ivf_topk(spark, sf, vectorized_assign=True).orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    ref = _ivf_topk(spark, sf, vectorized_assign=False).orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(fast, ref)
+
+
 def test_rolling_hash_codepoint_twins_non_ascii(spark):
     from ocr_lib_spark.functions.text import (
         min_gram_hash,
