@@ -4,9 +4,10 @@ entry(spark)   — flagship main-content extraction over the transcript
                  corpus derived from sf0.001 documents.
 queries()      — every implemented operator (SURVEY.md §2 + training-data
                  ops), one callable per name.
-oracle_sql()   — DuckDB twin per query (every entry except
-               approx_sketches, whose HLL/t-digest values are
-               engine-defined -> rows-only check by design).
+oracle_sql()   — DuckDB twin per query. EVERY query has one (round 2):
+               approx_sketches emits exact companions + within-bounds
+               booleans the oracle pins TRUE, so even the sketch query
+               is hash-verified and driver-failable.
 """
 
 from __future__ import annotations
