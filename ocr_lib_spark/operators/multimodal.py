@@ -39,6 +39,12 @@ def _try_pil():
         return None
 
 
+def _bytes(b) -> bytes:
+    """Nil-guard: NULL payloads behave as empty bytes everywhere (the
+    empty-not-null discipline of the reference's guards, SURVEY.md §1.3)."""
+    return b if isinstance(b, (bytes, bytearray)) else b""
+
+
 def probe_image_dims(buf: bytes) -> tuple[int, int, str] | None:
     """Dependency-free image-dimension probe: struct-parse the container
     header (pure stdlib, deterministic). Returns (width, height, format)
@@ -127,6 +133,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
         import io
 
         def dims(b):
+            b = _bytes(b)
             if pil is not None:  # pragma: no cover - codec absent here
                 try:
                     w, h = pil.open(io.BytesIO(b)).size
@@ -139,7 +146,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
             return (b[0] % 64) + 1 if len(b) else 0, (len(b) % 64) + 1, "stub"
 
         for pdf in batches:
-            raw = pdf[payload_col]
+            raw = pdf[payload_col].map(_bytes)
             whd = [dims(b) for b in raw]
             yield pd.DataFrame(
                 {
@@ -177,18 +184,19 @@ def byte_histogram(
 
     def run(batches):
         for pdf in batches:
+            raw = pdf[payload_col].map(_bytes)
             hists = [
                 np.bincount(
                     np.frombuffer(b, dtype=np.uint8) >> shift, minlength=bins
                 ).astype("int32").tolist()
                 if len(b)
                 else [0] * bins
-                for b in pdf[payload_col]
+                for b in raw
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "n_bytes": raw.map(len).astype("int32"),
                     "hist": pd.Series(hists, index=pdf.index, dtype=object),
                 }
             )
@@ -224,6 +232,7 @@ def byte_thumbnail(
             ids, ns, cs, vs = [], [], [], []
             cell_idx = np.arange(cells, dtype=np.int64)
             for did, b in zip(pdf[id_col], pdf[payload_col]):
+                b = _bytes(b)
                 n = len(b)
                 if n:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)

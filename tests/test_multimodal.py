@@ -124,6 +124,24 @@ def test_byte_histogram_rejects_non_power_of_two(payloads):
         byte_histogram(payloads, bins=10)
 
 
+def test_null_payload_behaves_as_empty(spark):
+    """Nil-guard discipline (reference §1.3): a NULL payload flows
+    through every kernel as empty bytes — no crash, empty-not-null."""
+    from ocr_lib_spark.operators.multimodal import byte_thumbnail
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, payload binary"
+    )
+    meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (meta[2].n_bytes, meta[2].width, meta[2].decoder) == (0, 0, "stub")
+    assert meta[2].content_md5 == hashlib.md5(b"").hexdigest()
+    hist = {r.doc_id: r for r in byte_histogram(df).collect()}
+    assert list(hist[2].hist) == [0] * 16
+    thumb = [r for r in byte_thumbnail(df, cells=4).collect() if r.doc_id == 2]
+    assert [r.mean_byte for r in thumb] == [0, 0, 0, 0]
+    assert frame_sample(df).count() == 8
+
+
 def test_byte_thumbnail_area_average(spark, payloads):
     from ocr_lib_spark.operators.multimodal import byte_thumbnail
 
