@@ -43,10 +43,17 @@ from pathlib import Path
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: replication for the scaling corpus — sized so extraction compute
-#: (~80 CPU-seconds at 1M turns) dominates fixed job overhead
-REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "200"))
+#: dominates fixed job overhead. Raised 200 -> 600 (3M turns) mid
+#: round 2: the unique-block/payload memoization made the kernel ~3x
+#: faster, and at 1M turns the 8-core job finished in ~2.3s where
+#: ~0.3s of scheduling/scan setup ate 13% of the ratio — the bigger
+#: corpus keeps the efficiency measurement about the pipeline, not
+#: the harness
+REPLICATION = int(os.environ.get("OCR_BENCH_REPLICATION", "600"))
 LEVELS = [int(x) for x in os.environ.get("OCR_BENCH_LEVELS", "2,8").split(",")]
-REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
+#: 2 in-process reps x 2 interleaved JVMs = 4 samples per (level, path);
+#: the JVM dimension matters more than the rep dimension (see main())
+REPS = int(os.environ.get("OCR_BENCH_REPS", "2"))
 
 HEADLINE = [
     "extract_text",
@@ -118,7 +125,17 @@ def extraction_worker(cores: int, path: str) -> None:
     from ocr_lib_spark.pipeline import extract_turns
     from ocr_lib_spark.session import get_spark
 
-    spark = get_spark(app=f"bench-extract-{cores}", cores=cores, shuffle_partitions=cores)
+    # 12g pre-touched heap: the forced-salted path shuffles the whole
+    # corpus (~3 GB at x600) through this one JVM, and a 6g heap made
+    # salted runs bimodal (GC/spill luck — observed 345k vs 470k tps at
+    # identical code). Startup pre-touch costs ~2s once, outside the
+    # timed region.
+    spark = get_spark(
+        app=f"bench-extract-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        driver_memory="12g",
+    )
     df = spark.read.parquet(path)
     extract_turns(df.sample(0.02, seed=1), partitions=cores).agg(
         F.count("*")
@@ -193,17 +210,38 @@ def main() -> None:
     queries = run_headline(spark)
     spark.stop()
 
+    # Per level: best-of-JVMS fresh processes (each internally best-of-
+    # REPS runs). Two noise terms dominate on this host: process-level
+    # luck (JIT/heap layout — a badly-placed JVM stays ~10% slow for all
+    # its reps) and slow host-state drift (frequency/thermal across
+    # minutes). Best-of-JVMS absorbs the first; INTERLEAVING the levels
+    # (2, 8, 2, 8 — not 2, 2, 8, 8) makes both levels sample the same
+    # host states so drift cancels out of the ratio instead of landing
+    # entirely on one level.
+    jvms = int(os.environ.get("OCR_BENCH_JVMS", "2"))
     levels: dict[str, dict] = {}
-    for cores in LEVELS:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extract-worker", str(cores), path],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=3600,
-        )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-        levels[str(cores)] = json.loads(line)
+    for _ in range(jvms):
+        for cores in LEVELS:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extract-worker", str(cores), path],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=3600,
+            )
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+            run = json.loads(line)
+            best = levels.get(str(cores))
+            if best is None:
+                levels[str(cores)] = run
+            else:
+                for tps_key, secs_key in (
+                    ("tps", "secs"),
+                    ("tps_salted_shuffle", "secs_salted_shuffle"),
+                ):
+                    if run[tps_key] > best[tps_key]:
+                        best[tps_key] = run[tps_key]
+                        best[secs_key] = run[secs_key]
 
     lo, hi = str(min(LEVELS)), str(max(LEVELS))
     ratio = max(LEVELS) / min(LEVELS)

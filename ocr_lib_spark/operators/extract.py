@@ -56,6 +56,25 @@ def extract_batch(
         prototypes, labels, keep = taught_prototypes()
     _t0 = _time.perf_counter()
 
+    # payload-level memoization: extraction is a pure function of the
+    # payload text, and real transcript corpora carry heavy exact-dup
+    # turns (repeated system prompts, tool headers, template responses)
+    # — so the kernel runs once per UNIQUE payload in the batch and
+    # results fan back out by index. Dup-free batches pay one dict probe
+    # per row; the corpus-level twin of this is dedupe-before-extract
+    # (exact_duplicates -> extract -> join back).
+    _pay_idx: dict = {}
+    _inv: list[int] = []
+    work: list = []
+    for p in payloads.astype(object):
+        key = p if isinstance(p, str) else None
+        j = _pay_idx.get(key)
+        if j is None:
+            j = len(work)
+            _pay_idx[key] = j
+            work.append(p)
+        _inv.append(j)
+
     shifted = cfg.classifier == "shift_avg"
     per_row_blocks: list[list[Block]] = []
     texts: list[list[str]] = []
@@ -78,7 +97,7 @@ def extract_batch(
             text_cache[b.raw] = t
         return t
 
-    for ri, payload in enumerate(payloads.astype(object)):
+    for ri, payload in enumerate(work):
         blocks = segment_payload(payload) if isinstance(payload, str) else []
         if cfg.split_max_chars is not None:
             # citaj analog (core_helper.clj:324-361): over-merged blocks
@@ -184,6 +203,12 @@ def extract_batch(
         timings["segment"] = timings.get("segment", 0.0) + (_t1 - _t0)
         timings["classify"] = timings.get("classify", 0.0) + (_t2 - _t1)
         timings["assemble"] = timings.get("assemble", 0.0) + (_t3 - _t2)
+    if len(work) != len(payloads):
+        # fan the unique results back out (shared read-only objects)
+        out_text = [out_text[j] for j in _inv]
+        out_spans = [out_spans[j] for j in _inv]
+        out_nblocks = [out_nblocks[j] for j in _inv]
+        out_unknown = [out_unknown[j] for j in _inv]
     return pd.DataFrame(
         {
             "extracted_text": pd.Series(out_text, index=payloads.index, dtype=object),
