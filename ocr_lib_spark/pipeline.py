@@ -122,6 +122,57 @@ def extract_turns(
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 
+def extract_turns_deduped(
+    df: DataFrame,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dedupe-before-extract: run the extraction kernel ONCE per unique
+    payload digest corpus-wide, then join results back to every turn.
+
+    The cross-partition twin of the kernel's batch-local memoization:
+    batch memoization only catches duplicates that land in the same
+    Arrow batch; this plan catches them across the whole corpus with
+    one digest `dropDuplicates` + one join. Worth it when
+    (dup_factor - 1) x kernel_cost > 2 x shuffle_cost — true for real
+    transcript corpora (20-50% exact-dup turns: repeated prompts, tool
+    headers, canned responses) whenever the kernel is the dominant
+    cost. Results are byte-identical to ``extract_turns`` (extraction
+    is a pure function of the payload; md5 keys the join).
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(taught_prototypes())
+    src = df.select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text"
+    ).withColumn("__digest", F.md5(F.coalesce("text", F.lit("<NULL-SENTINEL>"))))
+
+    uniq = src.select("__digest", "text").dropDuplicates(["__digest"])
+
+    def run(batches):
+        protos, labels, keep = bc.value
+        for pdf in batches:
+            res = extract_batch(pdf["text"], cfg, protos, labels, keep)
+            out = pdf[["__digest"]].copy()
+            out["extracted_text"] = res["extracted_text"].values
+            out["spans"] = res["spans"].values
+            out["n_blocks"] = res["n_blocks"].values
+            out["unknown_blocks"] = res["unknown_blocks"].values
+            yield out
+
+    schema = T.StructType(
+        [T.StructField("__digest", T.StringType())]
+        + [f for f in EXTRACTED_SCHEMA.fields if f.name not in ("conv_id", "turn_idx", "role")]
+    )
+    ex_u = uniq.mapInPandas(run, schema=schema)
+    return (
+        src.join(ex_u, "__digest")
+        .select(
+            "conv_id", "turn_idx", "role",
+            "extracted_text", "spans", "n_blocks", "unknown_blocks",
+        )
+    )
+
+
 def ordered(extracted: DataFrame) -> DataFrame:
     """Stable (conv_id, turn_idx) presentation order — the reading-order
     invariant (sort-rows / thread-result reordering, core.clj:753-785,

@@ -14,7 +14,11 @@ import base64
 
 from pyspark.sql import functions as F
 
-from ocr_lib_spark.pipeline import assemble_conversations, extract_turns
+from ocr_lib_spark.pipeline import (
+    assemble_conversations,
+    extract_turns,
+    extract_turns_deduped,
+)
 from ocr_lib_spark.plans import QueryDef
 from ocr_lib_spark.sources.synth import (
     B64_PRE,
@@ -62,6 +66,16 @@ SELECT {_CONV} AS conv_id,
          WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE 0 END AS INT) AS n_blocks
 FROM documents
 """
+
+
+def _q_extract_dedup_plan(spark, sf_dir):
+    """Same answer as extract_text via the dedupe-before-extract plan:
+    kernel runs once per unique payload digest corpus-wide, results
+    join back — the canonical expensive-enrichment-over-dup-heavy-
+    corpus shape, verified against the identical oracle."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns_deduped(tr)
+    return ex.select("conv_id", "turn_idx", "extracted_text", "n_blocks")
 
 
 def _q_extract_spans(spark, sf_dir):
@@ -320,6 +334,11 @@ QUERIES = {
         _q_extract_text,
         _ORACLE_TEXT,
         "flagship: per-turn main-content extraction (read-image-fn analog, core.clj:1772-1806)",
+    ),
+    "extract_text_dedup_plan": QueryDef(
+        _q_extract_dedup_plan,
+        _ORACLE_TEXT,
+        "dedupe-before-extract plan: kernel once per unique digest, join back (same oracle as extract_text)",
     ),
     "extract_spans": QueryDef(
         _q_extract_spans,

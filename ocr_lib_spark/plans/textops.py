@@ -147,15 +147,21 @@ def _adjacent_jaccard(spark, sf_dir):
         import pandas as pd
 
         k = SHINGLE_K
+        cache: dict = {}  # pairs share texts (near-dup clusters / the
+        # adjacent chain) — build each text's shingle set once per batch
 
         def sh(t):
             if not isinstance(t, str):
                 t = ""
-            return (
-                {t[i : i + k] for i in range(len(t) - k + 1)}
-                if len(t) > k - 1
-                else {t[:k]}
-            )
+            s = cache.get(t)
+            if s is None:
+                s = (
+                    {t[i : i + k] for i in range(len(t) - k + 1)}
+                    if len(t) > k - 1
+                    else {t[:k]}
+                )
+                cache[t] = s
+            return s
 
         ni, nu = [], []
         for x, y in zip(ta.astype(object), tb.astype(object)):
@@ -401,15 +407,21 @@ def _near_dup_verified(spark, sf_dir):
         import pandas as pd
 
         k = SHINGLE_K
+        cache: dict = {}  # pairs share texts (near-dup clusters / the
+        # adjacent chain) — build each text's shingle set once per batch
 
         def sh(t):
             if not isinstance(t, str):
                 t = ""
-            return (
-                {t[i : i + k] for i in range(len(t) - k + 1)}
-                if len(t) > k - 1
-                else {t[:k]}
-            )
+            s = cache.get(t)
+            if s is None:
+                s = (
+                    {t[i : i + k] for i in range(len(t) - k + 1)}
+                    if len(t) > k - 1
+                    else {t[:k]}
+                )
+                cache[t] = s
+            return s
 
         ni, nu = [], []
         for x, y in zip(ta.astype(object), tb.astype(object)):
