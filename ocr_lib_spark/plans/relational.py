@@ -177,11 +177,18 @@ def _band_join(spark, sf_dir):
         (F.col("d") >= start) & (F.col("d") + F.expr("INTERVAL 1 DAY") <= end),
     )
 
+    # group over ALL exploded days (full days contribute their daily
+    # count, partial days 0) — the explode emits >= 1 row per order, so
+    # this grouping already carries EVERY orderkey and the extra
+    # join-back to `orders` the first version had is unnecessary
     full_cnt = (
-        ob.where("full_day")
-        .join(daily, "d", "left")
+        ob.join(daily, "d", "left")
         .groupBy("o_orderkey")
-        .agg(F.sum(F.coalesce("day_cnt", F.lit(0))).alias("c_full"))
+        .agg(
+            F.sum(
+                F.when(F.col("full_day"), F.coalesce("day_cnt", F.lit(0))).otherwise(0)
+            ).alias("c_full")
+        )
     )
     lb = l.select(F.date_trunc("DAY", "l_shipdate").alias("d"), "l_shipdate")
     partial_cnt = (
@@ -191,16 +198,9 @@ def _band_join(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("c_part"))
     )
-    return (
-        o.select("o_orderkey")
-        .join(full_cnt, "o_orderkey", "left")
-        .join(partial_cnt, "o_orderkey", "left")
-        .select(
-            "o_orderkey",
-            (F.coalesce("c_full", F.lit(0)) + F.coalesce("c_part", F.lit(0))).alias(
-                "n_in_band"
-            ),
-        )
+    return full_cnt.join(partial_cnt, "o_orderkey", "left").select(
+        "o_orderkey",
+        (F.col("c_full") + F.coalesce("c_part", F.lit(0))).alias("n_in_band"),
     )
 
 
