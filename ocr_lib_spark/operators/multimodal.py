@@ -74,7 +74,12 @@ def probe_image_dims(buf: bytes) -> tuple[int, int, str] | None:
         and struct.unpack("<I", buf[14:18])[0] in (40, 108, 124)
     ):
         w, h = struct.unpack("<ii", buf[18:26])
-        return int(w), abs(int(h)), "bmp"  # negative height = top-down rows
+        # negative height = top-down rows (legal); negative/zero width or
+        # zero height has no BMP meaning — treat as unrecognizable so the
+        # probe's w >= 0 contract holds
+        if w <= 0 or h == 0:
+            return None
+        return int(w), abs(int(h)), "bmp"
     if n >= 4 and buf[:2] == b"\xff\xd8":
         # JPEG: walk marker segments to a start-of-frame (SOF0..SOF15,
         # minus the non-frame C4/C8/CC markers)

@@ -144,7 +144,15 @@ def extract_turns_deduped(
     bc = spark.sparkContext.broadcast(taught_prototypes())
     src = df.select(
         "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text"
-    ).withColumn("__digest", F.md5(F.coalesce("text", F.lit("<NULL-SENTINEL>"))))
+    ).withColumn(
+        # NULL must hash apart from EVERY real string (a literal
+        # "<NULL-SENTINEL>" payload would otherwise collide): prefix a
+        # nullability flag byte onto the digest
+        "__digest",
+        F.when(F.col("text").isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), F.md5("text"))
+        ),
+    )
 
     uniq = src.select("__digest", "text").dropDuplicates(["__digest"])
 

@@ -313,9 +313,15 @@ def _q_stream_extract(spark, sf_dir):
     import hashlib as _hashlib
     from pathlib import Path as _Path
 
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
     from ocr_lib_spark.streaming.extract_stream import run_stream_to_memory
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # content-addressed staging key (file listing + sizes of the input
+    # dir), NOT the path string: if fixture content changes at the same
+    # path the staged copy is rebuilt instead of silently reused — the
+    # same staleness class parquet_snapshot_id fixes in lineage.py
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:8]
     src = f"/tmp/ocr_stream_src_{tag}"
     if not _Path(src, "_SUCCESS").exists():
         transcripts_from_documents(spark, sf_dir).repartition(6).write.mode(

@@ -496,17 +496,31 @@ WHERE len(list_intersect(x.s, y.s))::DOUBLE
 # shuffle on the shard key), never a global sort.
 
 PACK_BUDGET = 512  # tokens per packed chunk
-PACK_SHARDS = 16
+PACK_SHARDS = 16  # pinned shard count for the driver-gated query (the
+# oracle must mirror it); the operator itself defaults to a function of
+# the input layout — see pack_tokens
 
 
-def _token_packing(spark, sf_dir):
+def pack_tokens(docs, budget: int = PACK_BUDGET, shards: int | None = None):
+    """Concat-and-chunk context-window packing over (doc_id, text).
+
+    ``shards`` bounds the packing window's parallelism (the window sort
+    is partition-local per shard). Default scales with the INPUT —
+    4 tasks per upstream partition, floor 16 — so a 100 TB corpus is
+    never squeezed through a fixed 16-task window stage (a round-2
+    review finding). The shard key (doc_id % n_shards) and n_shards are
+    both recorded in the output, so any consumer can reproduce the
+    deterministic layout regardless of what default was in effect.
+    """
     from pyspark.sql import Window
 
     from ocr_lib_spark.functions.text import bpe_token_count
 
-    d = _docs(spark, sf_dir).select(
+    if shards is None:
+        shards = max(16, 4 * docs.rdd.getNumPartitions())
+    d = docs.select(
         "doc_id",
-        F.pmod("doc_id", F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.pmod("doc_id", F.lit(shards)).cast("int").alias("shard"),
         bpe_token_count("text").alias("n_tokens"),
     )
     w = (
@@ -518,10 +532,17 @@ def _token_packing(spark, sf_dir):
     return d.select(
         "doc_id",
         "shard",
+        F.lit(shards).cast("int").alias("n_shards"),
         "n_tokens",
-        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_idx"),
-        (start % PACK_BUDGET).cast("long").alias("chunk_offset"),
+        F.floor(start / budget).cast("long").alias("chunk_idx"),
+        (start % budget).cast("long").alias("chunk_offset"),
     )
+
+
+def _token_packing(spark, sf_dir):
+    # pinned shard count under the driver gate (the static oracle SQL
+    # must know it); the operator default is layout-scaled
+    return pack_tokens(_docs(spark, sf_dir), budget=PACK_BUDGET, shards=PACK_SHARDS)
 
 
 def _token_packing_oracle() -> str:
@@ -537,7 +558,7 @@ s AS (
   SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
   FROM t)
-SELECT doc_id, shard, n_tokens,
+SELECT doc_id, shard, {PACK_SHARDS}::INT AS n_shards, n_tokens,
        (start // {PACK_BUDGET})::BIGINT AS chunk_idx,
        (start % {PACK_BUDGET})::BIGINT AS chunk_offset
 FROM s

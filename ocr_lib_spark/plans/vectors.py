@@ -176,9 +176,19 @@ def _assign_centroids_arrow(e, cent_rows):
 
     def run(batches):
         for pdf in batches:
-            V = np.array(pdf["v"].tolist(), dtype=np.float64)  # n × dim
-            if V.ndim != 2 or not len(V):
+            if not len(pdf):
                 continue
+            rows = pdf["v"].tolist()
+            # fail fast on malformed vectors instead of silently dropping
+            # the whole Arrow batch (which would diverge from the
+            # per-row relational twin)
+            bad = [i for i, r in enumerate(rows) if r is None or len(r) != dim or any(x is None for x in r)]
+            if bad:
+                raise ValueError(
+                    f"null/ragged embedding vectors at batch rows {bad[:5]} "
+                    f"(expected non-null dim={dim}); clean upstream"
+                )
+            V = np.array(rows, dtype=np.float64)  # n × dim
             S = np.zeros((len(V), k))
             vn_sq = np.zeros(len(V))
             for d in range(dim):
@@ -208,15 +218,17 @@ def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True):
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = F.broadcast(
-        e.where(F.col("vec_id") % 64 == 1).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-        )
+    # keep the broadcast hint OFF the plan we .collect() (a hinted
+    # non-join plan logs HintErrorLogger warnings); hint only the copy
+    # that actually joins
+    cent_plain = e.where(F.col("vec_id") % 64 == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
+    cent = F.broadcast(cent_plain)
     if vectorized_assign:
         # the quantizer is a small bounded table (a trained k-means
         # codebook at production scale) — collect once, score in Arrow
-        cent_rows = [(r["centroid_id"], list(r["cv"])) for r in cent.collect()]
+        cent_rows = [(r["centroid_id"], list(r["cv"])) for r in cent_plain.collect()]
         assign = _assign_centroids_arrow(e, cent_rows)
     else:
         # relational twin: assignment via max_by aggregation, not a

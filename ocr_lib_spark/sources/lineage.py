@@ -150,12 +150,11 @@ def run_with_resume(
     per-bucket stage_ms are the group's kernel totals prorated by each
     bucket's turn share (exact when buckets_per_job=1).
     """
+    import shutil
+
     spark = transcripts.sparkSession
     n_buckets = n_buckets or cfg.lineage_buckets
-    done = committed_buckets(spark, out_dir, input_snapshot_id)
     out = Path(out_dir)
-    (out / "data").mkdir(parents=True, exist_ok=True)
-    (out / "lineage").mkdir(parents=True, exist_ok=True)
 
     staging = out / "staging"
     marker = out / "staging_snapshot.txt"
@@ -164,6 +163,19 @@ def run_with_resume(
         and marker.exists()
         and marker.read_text() == input_snapshot_id
     )
+    if not staging_current:
+        # Snapshot changed (or first run): every committed bucket is
+        # stale BY DEFINITION (resume within one snapshot never rebuilds
+        # staging). Dynamic partition overwrite below only replaces
+        # partitions that receive rows, so a bucket with rows under the
+        # old snapshot and ZERO rows under this one would otherwise keep
+        # its stale data files behind a fresh committed lineage row —
+        # truncate data + lineage up front instead.
+        shutil.rmtree(out / "data", ignore_errors=True)
+        shutil.rmtree(out / "lineage", ignore_errors=True)
+    done = committed_buckets(spark, out_dir, input_snapshot_id)
+    (out / "data").mkdir(parents=True, exist_ok=True)
+    (out / "lineage").mkdir(parents=True, exist_ok=True)
     if not staging_current:
         (
             transcripts.withColumn("__bucket", bucket_of(F.col("conv_id"), n_buckets))

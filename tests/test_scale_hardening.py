@@ -174,3 +174,32 @@ def test_rolling_hash_codepoint_twins_non_ascii(spark):
     )
     assert list(catalyst.rk_hash) == list(pdf_hashes.rk_hash)
     assert list(catalyst.min_gram8) == list(pdf_hashes.min_gram8)
+
+
+def test_pack_tokens_invariants_at_two_shard_counts(spark):
+    """pack_tokens (round-3: PACK_SHARDS is a parameter, default scales
+    with the input layout): per-shard packing invariants hold at two
+    explicit shard counts, and the layout-scaled default records its
+    n_shards in the output."""
+    from ocr_lib_spark.plans.textops import pack_tokens
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * ((i * 13) % 29 + 1)).strip()) for i in range(400)],
+        schema="doc_id long, text string",
+    )
+    budget = 50
+    for shards in (4, 16):
+        out = pack_tokens(docs, budget=budget, shards=shards).toPandas()
+        assert len(out) == 400
+        assert (out.n_shards == shards).all()
+        assert (out.shard == out.doc_id % shards).all()
+        assert out.chunk_offset.between(0, budget - 1).all()
+        for _, g in out.sort_values("doc_id").groupby("shard"):
+            start = (g.chunk_idx * budget + g.chunk_offset).to_numpy()
+            assert start[0] == 0  # first doc of each shard starts at 0
+            expected = g.n_tokens.cumsum().shift(fill_value=0).to_numpy()
+            assert (start == expected).all()
+    # default: derived from the input layout, floor 16, recorded in output
+    dflt = pack_tokens(docs.repartition(8), budget=budget).toPandas()
+    assert (dflt.n_shards == 32).all()
+    assert (dflt.shard == dflt.doc_id % 32).all()
