@@ -381,3 +381,82 @@ def _sign_bucket(vec, n_bits: int):
     for i in range(n_bits):
         b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(0)
     return b.cast("int")
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Transitive closure over verified near-dup pairs → one canonical
+    keep-id per duplicate cluster: (doc_id, cluster_id, keep_id,
+    n_members), cluster_id = the component's minimum doc id.
+
+    The corpus-scale recast of the reference's flood fill
+    (find-sign-dots-fn core.clj:574-638: grow a component, consuming
+    members from the remaining set): a local worklist becomes
+    bounded-round MIN-LABEL PROPAGATION over hash-partitioned joins —
+    every doc starts labeled with its own id; each round a doc adopts
+    the minimum label among itself and its neighbors, then POINTER-JUMPS
+    to its label's label (halving label-chain depth, so convergence is
+    O(log diameter) rounds, not O(diameter) — the classic
+    Hash-to-Min/pointer-doubling CC trick). All per-round work is
+    joins + groupBy on the id key (parallel, map-side combinable); the
+    driver loop is over ROUNDS, and per-round state is truncated with
+    an eager localCheckpoint so plan lineage stays flat (use a reliable
+    checkpoint dir on a real cluster). Convergence is detected by the
+    label-sum fixpoint: labels only ever decrease, so an unchanged
+    SUM(label) means an unchanged labeling — one cheap agg per round,
+    no row-level diff join.
+
+    Near-dup graphs are overwhelmingly tiny cliques/chains (dup
+    clusters), so real round counts are 1-3; ``max_rounds`` is a
+    defensive cap and overrunning it raises instead of silently
+    emitting a half-converged labeling.
+    """
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    if prev_sum is None:  # empty pair set
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            F.col("lbl").alias("keep_id"),
+            F.lit(1).cast("long").alias("n_members"),
+        )
+    for _ in range(max_rounds):
+        prop = edges.join(labels.withColumnRenamed("id", "s"), "s").select(
+            F.col("d").alias("id"), "lbl"
+        )
+        merged = labels.union(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        # pointer jump: adopt the label of your label (labels are ids)
+        lab2 = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        labels = (
+            merged.join(lab2, "lbl", "left")
+            .select("id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(f"near_dup_clusters did not converge in {max_rounds} rounds")
+    wc = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.col("lbl").alias("keep_id"),
+        F.count("*").over(wc).alias("n_members"),
+    )

@@ -231,3 +231,45 @@ def test_percentile_distributed_equals_window_on_skewed_ties(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_near_dup_clusters_converges_on_chain_star_clique(spark):
+    """Min-label propagation + pointer jumping resolves the transitive
+    closure: a 41-node CHAIN (worst-case diameter — pure propagation
+    would need 40 rounds; pointer doubling needs ~log2), a star, a
+    3-clique, an isolated pair, with a tight max_rounds cap."""
+    from ocr_lib_spark.operators.dedup import near_dup_clusters
+
+    pairs = (
+        [(i, i + 1) for i in range(100, 140)]  # chain 100..140
+        + [(500, x) for x in (501, 502, 503, 504)]  # star at 500
+        + [(7, 8), (8, 9), (7, 9)]  # clique
+        + [(1000, 2000)]  # pair
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = near_dup_clusters(df, max_rounds=12).toPandas()
+
+    comp = {}
+    for m in range(100, 141):
+        comp[m] = 100
+    for m in (500, 501, 502, 503, 504):
+        comp[m] = 500
+    for m in (7, 8, 9):
+        comp[m] = 7
+    comp[1000] = comp[2000] = 1000
+    sizes = {100: 41, 500: 5, 7: 3, 1000: 2}
+
+    assert len(got) == len(comp)
+    for r in got.itertuples():
+        assert r.cluster_id == comp[r.doc_id], (r.doc_id, r.cluster_id)
+        assert r.keep_id == r.cluster_id
+        assert r.n_members == sizes[r.cluster_id]
+
+    # empty pair set: empty labeling, correct schema
+    empty = near_dup_clusters(
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "cluster_id", "keep_id", "n_members",
+    ]
