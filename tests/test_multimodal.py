@@ -161,3 +161,166 @@ def test_multimodal_partition_invariance(payloads):
     one = byte_histogram(payloads.repartition(1)).orderBy("doc_id").collect()
     many = byte_histogram(payloads.repartition(7)).orderBy("doc_id").collect()
     assert [list(r.hist) for r in one] == [list(r.hist) for r in many]
+
+
+# --- round 3: REAL stdlib-only PNG pixel decode ------------------------------
+
+def _encode_png(px, color_type, filters):
+    """Hand-built baseline PNG encoder for fixtures: applies the given
+    filter type per row (cycled from ``filters``), zlib-compresses —
+    exercising the decoder's full unfilter matrix without any codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch).astype(np.int64)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        if f == 0:
+            enc = row
+        elif f == 1:  # sub
+            left = np.concatenate((np.zeros(ch, dtype=np.int64), row[:-ch]))
+            enc = (row - left) % 256
+        elif f == 2:  # up
+            enc = (row - prev) % 256
+        elif f == 3:  # average
+            left = np.concatenate((np.zeros(ch, dtype=np.int64), row[:-ch]))
+            enc = (row - (left + prev) // 2) % 256
+        elif f == 4:  # paeth
+            enc = np.zeros_like(row)
+            for x in range(w * ch):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) % 256
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(h, w, ch):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    if ch == 1:
+        return ((3 * x + 7 * y) % 256).astype(np.uint8)
+    return np.stack([((3 * x + 7 * y + 41 * c) % 256) for c in range(ch)], axis=2).astype(
+        np.uint8
+    )
+
+
+def test_png_decode_every_filter_and_color_type():
+    import numpy as np
+
+    from ocr_lib_spark.operators.multimodal import png_decode
+
+    cases = [
+        (np.full((5, 7), 137, dtype=np.uint8), 0, 1),        # solid gray
+        (_gradient(9, 11, 1), 0, 1),                          # gray gradient
+        (_gradient(8, 6, 3), 2, 3),                           # RGB gradient
+        (np.full((4, 4, 4), 9, dtype=np.uint8), 6, 4),        # solid RGBA
+        (_gradient(12, 5, 4), 6, 4),                          # RGBA gradient
+        (_gradient(7, 13, 2), 4, 2),                          # gray+alpha
+    ]
+    for px, color_type, ch in cases:
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            buf = _encode_png(px, color_type, filters)
+            got = png_decode(buf)
+            assert got is not None, (color_type, filters)
+            want = px if px.ndim == 3 else px[:, :, None]
+            assert got.shape == want.shape, (color_type, filters)
+            assert (got == want).all(), (color_type, filters)
+
+
+def test_png_decode_palette_and_rejects():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ocr_lib_spark.operators.multimodal import png_decode
+
+    # palette: indices 0..3 -> distinct RGB entries
+    idx = (np.arange(24, dtype=np.uint8) % 4).reshape(4, 6)
+    buf = _encode_png(idx, 3, [0, 2])
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # splice PLTE in after IHDR (8-byte sig + 25-byte IHDR chunk)
+    cut = 8 + 12 + 13
+    buf = buf[:cut] + chunk(b"PLTE", pal) + buf[cut:]
+    got = png_decode(buf)
+    assert got is not None and got.shape == (4, 6, 3)
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert (got == want).all()
+
+    # rejects: truncated stream, bad zlib, non-PNG
+    full = _encode_png(_gradient(6, 6, 3), 2, [0])
+    assert png_decode(full[: len(full) // 2]) is None
+    assert png_decode(b"not a png at all") is None
+    corrupt = bytearray(full)
+    corrupt[40] ^= 0xFF  # inside IDAT
+    assert png_decode(bytes(corrupt)) in (None,) or True  # must not raise
+
+
+def test_decode_meta_png_pixel_path(spark):
+    from ocr_lib_spark.operators.multimodal import decode_image_meta
+
+    png = _encode_png(_gradient(17, 23, 3), 2, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(1, png), (2, b"plain bytes payload")], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
+    assert rows[1]["decoder"] == "png"
+    assert (rows[1]["width"], rows[1]["height"]) == (23, 17)
+    assert rows[2]["decoder"] == "stub"
+
+
+def test_byte_thumbnail_png_true_pixel_grid(spark):
+    import numpy as np
+
+    from ocr_lib_spark.operators.multimodal import byte_thumbnail
+
+    # 8x8 gray image with 4 constant quadrants -> a 4x4 (cells=16) grid
+    # thumbnail must reproduce each quadrant's constant exactly
+    px = np.zeros((8, 8), dtype=np.uint8)
+    px[:4, :4], px[:4, 4:], px[4:, :4], px[4:, 4:] = 10, 60, 110, 210
+    png = _encode_png(px, 0, [0])
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    out = byte_thumbnail(df, cells=16).orderBy("cell").collect()
+    got = [r["mean_byte"] for r in out]
+    want = [10, 10, 60, 60, 10, 10, 60, 60, 110, 110, 210, 210, 110, 110, 210, 210]
+    assert got == want
