@@ -85,6 +85,7 @@ HEADLINE = [
     "near_dup_verified",
     "token_packing",
     "stratified_sample",
+    "near_dup_clusters",  # added round 3 (pairs -> transitive-closure clusters)
 ]
 
 

