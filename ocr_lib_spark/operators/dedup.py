@@ -397,7 +397,7 @@ def near_dup_clusters(
     (find-sign-dots-fn core.clj:574-638: grow a component, consuming
     members from the remaining set): a local worklist becomes
     bounded-round MIN-LABEL PROPAGATION over hash-partitioned joins —
-    every doc starts labeled with its own id; each round a doc adopts
+    every doc starts labeled min(own id, min neighbor id); each round a doc adopts
     the minimum label among itself and its neighbors, then POINTER-JUMPS
     to its label's label (halving label-chain depth, so convergence is
     O(log diameter) rounds, not O(diameter) — the classic
@@ -419,13 +419,16 @@ def near_dup_clusters(
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # upstream (e.g. the whole LSH+verify
+        # pipeline) runs ONCE, not once per round
     )
+    # seed labels with min(id, min neighbor) — the first propagation
+    # round comes free with the seeding scan
     labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("s")
+        .agg(F.least(F.min("d"), F.col("s")).alias("lbl"))
+        .select(F.col("s").alias("id"), "lbl")
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     if prev_sum is None:  # empty pair set
@@ -445,7 +448,9 @@ def near_dup_clusters(
         labels = (
             merged.join(lab2, "lbl", "left")
             .select("id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence agg below is the action that
+            # materializes the checkpoint — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:

@@ -540,8 +540,12 @@ FROM events GROUP BY user_id
 PCT_QS = (50, 90, 99)
 PCT_BINS = 64
 #: candidate-set size below which the exact pick resolves via one
-#: bounded window (partition = one (event_type, q) candidate set)
-PCT_FINAL_THRESHOLD = 4096
+#: bounded window (partition = one (event_type, q) candidate set).
+#: 64Ki rows ≈ 1-2 MB per window partition — a trivially bounded sort
+#: task at any corpus size, while small SFs skip the narrowing rounds
+#: entirely (each round is a driver-blocking action; at 10^12 rows
+#: log_64(n/64Ki) ≈ 4 rounds)
+PCT_FINAL_THRESHOLD = 64 * 1024
 
 
 def percentile_pick_window(ev, qs=PCT_QS):
@@ -591,12 +595,16 @@ def percentile_pick_distributed(
       1. one parallel agg per event_type: n, min/max value → target
          ranks; per-(type, q) search state lives on the DRIVER (bounded:
          |types| × |qs| rows — metadata, like the IVF codebook).
-      2. per round, ONE parallel job: broadcast-join the state table,
-         keep rows inside each state's current interval, bin each row by
-         comparison against the state's literal split points
-         (aggregate(splits, value >= s) — membership and counting use
-         the SAME comparisons, so no float fencepost drift), count per
-         (type, q, bin) + per-bin min/max of (value, event_id).
+      2. per round, ONE parallel job: broadcast-join the state table
+         (deduped — states sharing an interval, e.g. all three qs in
+         round 1, are counted once), keep rows inside each state's
+         current interval, bin by plain codegen arithmetic
+         (floor((value-lo)/(hi-lo)·bins)). Float fenceposts cannot
+         corrupt ranks: binning is MONOTONE in the sort key and equal
+         keys share a bin, and the next interval is the chosen bin's
+         OBSERVED min/max (actual data values, compared with BETWEEN) —
+         so "rows ordered before the interval" is exact by
+         construction, regardless of how floor rounds the edges.
          The driver walks cumulative counts, picks the bin holding the
          target rank, adds the bins below to ``base``.
       3. ties: when an interval collapses to one distinct value, rank
@@ -650,38 +658,39 @@ def percentile_pick_distributed(
                 }
             )
 
-    def splits_of(s) -> list:
-        """Interior split points for the state's current interval —
-        PLAIN LITERALS; binning and membership both compare against
-        them, so they are exactly self-consistent."""
-        if s["pinned"] is None:
-            lo, hi = s["vlo"], s["vhi"]
-            pts = [lo + (hi - lo) * i / bins for i in range(1, bins)]
-            return sorted({p for p in pts if lo < p <= hi})
-        lo, hi = s["elo"], s["ehi"]
-        step = max((hi - lo + 1) // bins, 1)
-        return [lo + step * i for i in range(1, bins) if lo + step * i <= hi]
-
-    def state_df(active):
-        rows = [
-            (
-                s["event_type"],
-                s["q"],
-                float(s["vlo"]),
-                float(s["vhi"]),
-                s["pinned"],
-                s["elo"],
-                s["ehi"],
-                [float(p) for p in splits_of(s)] if s["pinned"] is None else [],
-                [int(p) for p in splits_of(s)] if s["pinned"] is not None else [],
+    def state_df(active, dedupe: bool = False):
+        """One row per state, or (dedupe=True) per DISTINCT interval —
+        round 1 counts each type once for all three qs."""
+        if dedupe:
+            seen: dict[tuple, int] = {}
+            rows, groups = [], []
+            for s in active:
+                key = (s["event_type"], s["vlo"], s["vhi"], s["pinned"], s["elo"], s["ehi"])
+                gid = seen.get(key)
+                if gid is None:
+                    gid = seen[key] = len(rows)
+                    rows.append(
+                        (s["event_type"], gid, float(s["vlo"]), float(s["vhi"]),
+                         s["pinned"], s["elo"], s["ehi"])
+                    )
+                    groups.append([s])
+                else:
+                    groups[gid].append(s)
+            df = spark.createDataFrame(
+                rows,
+                "event_type string, gid int, vlo double, vhi double, "
+                "pinned double, elo long, ehi long",
             )
+            return df, groups
+        rows = [
+            (s["event_type"], s["q"], float(s["vlo"]), float(s["vhi"]),
+             s["pinned"], s["elo"], s["ehi"])
             for s in active
         ]
         return spark.createDataFrame(
             rows,
             "event_type string, q int, vlo double, vhi double, "
-            "pinned double, elo long, ehi long, "
-            "vsplits array<double>, esplits array<long>",
+            "pinned double, elo long, ehi long",
         )
 
     def members(j):
@@ -698,27 +707,27 @@ def percentile_pick_distributed(
         )
         return j.where(in_val | in_pin)
 
+    # arithmetic binning: monotone in the sort key (equal keys share a
+    # bin), so cumulative bin counts are exact rank prefixes; safe at
+    # degenerate widths via the when() guards
+    vspan = F.col("vhi") - F.col("vlo")
+    vbin = F.when(vspan > 0,
+        F.least(F.floor((F.col("value") - F.col("vlo")) / vspan * bins), F.lit(bins - 1)),
+    ).otherwise(F.lit(0))
+    espan = F.col("ehi") - F.col("elo") + 1
+    ebin = F.least(
+        F.floor((F.col("event_id") - F.col("elo")) * bins / espan), F.lit(bins - 1)
+    )
+    bin_col = F.when(F.col("pinned").isNull(), vbin).otherwise(ebin).cast("int")
+
     for _ in range(max_rounds):
         active = [s for s in states if s["count"] > final_threshold]
         if not active:
             break
-        j = members(ev.join(F.broadcast(state_df(active)), "event_type"))
-        bin_col = F.when(
-            F.col("pinned").isNull(),
-            F.aggregate(
-                "vsplits",
-                F.lit(0),
-                lambda acc, p: acc + F.when(F.col("value") >= p, 1).otherwise(0),
-            ),
-        ).otherwise(
-            F.aggregate(
-                "esplits",
-                F.lit(0),
-                lambda acc, p: acc + F.when(F.col("event_id") >= p, 1).otherwise(0),
-            )
-        )
+        sdf, groups = state_df(active, dedupe=True)
+        j = members(ev.join(F.broadcast(sdf), "event_type"))
         got = (
-            j.groupBy("event_type", "q", bin_col.alias("bin"))
+            j.groupBy("gid", bin_col.alias("bin"))
             .agg(
                 F.count("*").alias("cnt"),
                 F.min("value").alias("bvmin"),
@@ -728,39 +737,18 @@ def percentile_pick_distributed(
             )
             .collect()
         )
-        per_state: dict[tuple, dict[int, tuple]] = {}
+        per_gid: dict[int, dict[int, tuple]] = {}
         for r in got:
-            per_state.setdefault((r["event_type"], r["q"]), {})[r["bin"]] = (
+            per_gid.setdefault(r["gid"], {})[r["bin"]] = (
                 int(r["cnt"]),
                 float(r["bvmin"]),
                 float(r["bvmax"]),
                 int(r["bemin"]),
                 int(r["bemax"]),
             )
-        for s in active:
-            bins_here = per_state[(s["event_type"], s["q"])]
-            cum = 0
-            for b in sorted(bins_here):
-                cnt, bvmin, bvmax, bemin, bemax = bins_here[b]
-                if s["base"] + cum + cnt >= s["target"]:
-                    s["base"] += cum
-                    prev = s["count"]
-                    s["count"] = cnt
-                    if s["pinned"] is None:
-                        # tighten to the bin's OBSERVED extremes (exact
-                        # and strictly inside the comparison bounds)
-                        s["vlo"], s["vhi"] = bvmin, bvmax
-                        if bvmin == bvmax:
-                            # one distinct value: rank is event_id order
-                            s["pinned"] = bvmin
-                            s["elo"], s["ehi"] = bemin, bemax
-                    else:
-                        s["elo"], s["ehi"] = bemin, bemax
-                    if cnt == prev and s["pinned"] is None and s["vlo"] == s["vhi"]:
-                        s["pinned"] = s["vlo"]
-                        s["elo"], s["ehi"] = bemin, bemax
-                    break
-                cum += cnt
+        for gid, members_states in enumerate(groups):
+            for s in members_states:
+                _advance_state(s, per_gid[gid], bins)
     leftovers = [s for s in states if s["count"] > final_threshold]
     if leftovers:  # defensive: unique event_ids guarantee convergence
         raise RuntimeError(f"percentile selection did not converge: {leftovers}")
@@ -778,6 +766,34 @@ def percentile_pick_distributed(
         .where(F.col("rnk") == F.col("local_rank"))
         .select("event_type", "q", F.col("value").alias("pick"), "n")
     )
+
+
+def _advance_state(s: dict, bins_here: dict[int, tuple], bins: int) -> None:
+    """Walk a state's cumulative bin counts; narrow to the bin holding
+    the target rank (observed extremes become the next interval)."""
+    cum = 0
+    for b in sorted(bins_here):
+        cnt, bvmin, bvmax, bemin, bemax = bins_here[b]
+        if s["base"] + cum + cnt >= s["target"]:
+            s["base"] += cum
+            prev = s["count"]
+            s["count"] = cnt
+            if s["pinned"] is None:
+                # tighten to the bin's OBSERVED extremes (actual data
+                # values; BETWEEN-membership is exact regardless of
+                # how floor rounded the bin edges)
+                s["vlo"], s["vhi"] = bvmin, bvmax
+                if bvmin == bvmax:
+                    # one distinct value: rank is event_id order
+                    s["pinned"] = bvmin
+                    s["elo"], s["ehi"] = bemin, bemax
+            else:
+                s["elo"], s["ehi"] = bemin, bemax
+            if cnt == prev and s["pinned"] is None and s["vlo"] == s["vhi"]:
+                s["pinned"] = s["vlo"]
+                s["elo"], s["ehi"] = bemin, bemax
+            return
+        cum += cnt
 
 
 def _percentile_pick(spark, sf_dir):
