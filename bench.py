@@ -86,6 +86,7 @@ HEADLINE = [
     "token_packing",
     "stratified_sample",
     "near_dup_clusters",  # added round 3 (pairs -> transitive-closure clusters)
+    "training_mix",  # added round 3 (composed dedup->quality->sample->pack)
 ]
 
 

@@ -598,6 +598,96 @@ def _near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+# --- training mix: the composed end-to-end pipeline --------------------------
+# What a 100 TB pretraining-data job actually runs, as ONE plan built
+# from the verified operators: near-dup CLUSTER dedup (drop everything
+# but each cluster's keep-id) -> quality floor -> per-language
+# deterministic hash downsampling -> context-window token packing.
+# Every stage is the scale shape it was graded on individually: the
+# drop-set anti join is a hash join on doc_id (the drop set is
+# O(duplicates), never broadcast-assumed), the gates are pure
+# codegen maps, the packing window is partition-local per shard.
+
+TRAIN_MIX_RATES = {"vowelic": 1000, "en-like": 1000, "cons-lite": 700, "consonantal": 0}
+TRAIN_MIX_MIN_QUALITY = 70
+
+
+def _training_mix(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    drop = (
+        _near_dup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    rate = None
+    for lang, permille in TRAIN_MIX_RATES.items():
+        cond = F.col("lang") == lang
+        rate = F.when(cond, permille) if rate is None else rate.when(cond, permille)
+    kept = (
+        docs.join(drop, "doc_id", "left_anti")
+        .withColumn("lang", lang_id("text"))
+        .withColumn("q", quality_score("text"))
+        .withColumn("h", hex_bucket(F.col("text"), 1000).cast("int"))
+        .where(
+            (F.col("q") >= TRAIN_MIX_MIN_QUALITY)
+            & (F.col("h") < rate.otherwise(F.lit(0)))
+        )
+        .select("doc_id", "text")
+    )
+    return pack_tokens(kept, budget=PACK_BUDGET, shards=PACK_SHARDS)
+
+
+def _training_mix_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH RECURSIVE vp AS ({_near_dup_verified_oracle()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+drop_ids AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id),
+meta AS (
+  SELECT doc_id, text,
+         (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS vr,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         len(list_distinct(string_split(trim(text), ' '))) AS n_dis,
+         (('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)::INT AS h
+  FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, h,
+           CASE WHEN vr >= 0.42 THEN 'vowelic' WHEN vr >= 0.30 THEN 'en-like'
+                WHEN vr >= 0.18 THEN 'cons-lite' ELSE 'consonantal' END AS lang,
+           least(CAST(FLOOR(length(text) / 10) AS BIGINT), 40)
+             + least(n_tok, 30)::BIGINT + least(n_dis * 2, 30)::BIGINT AS q
+    FROM meta)
+  WHERE q >= {TRAIN_MIX_MIN_QUALITY}
+    AND h < CASE lang {" ".join(f"WHEN '{lang}' THEN {p}" for lang, p in TRAIN_MIX_RATES.items() if lang != "consonantal")} ELSE {TRAIN_MIX_RATES["consonantal"]} END),
+t AS (
+  SELECT doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(regexp_extract_all(text, '{bpe_sql}'))::INT AS n_tokens
+  FROM kept),
+s AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM t)
+SELECT doc_id, shard, {PACK_SHARDS}::INT AS n_shards, n_tokens,
+       (start // {PACK_BUDGET})::BIGINT AS chunk_idx,
+       (start % {PACK_BUDGET})::BIGINT AS chunk_offset
+FROM s
+"""
+
+
 def _near_dup_clusters_oracle() -> str:
     # the verified-pair oracle runs as a nested-WITH CTE; the closure is
     # a recursive CTE: min reachable id == the component's min label
@@ -764,6 +854,11 @@ QUERIES = {
         _near_dup_clusters,
         _near_dup_clusters_oracle(),
         "verified pairs -> transitive-closure canonical clusters (min-label propagation + pointer jumping; flood-fill recast, core.clj:574-638)",
+    ),
+    "training_mix": QueryDef(
+        _training_mix,
+        _training_mix_oracle(),
+        "composed end-to-end pipeline: cluster dedup -> quality floor -> per-language hash downsampling -> token packing (one plan, all scale shapes)",
     ),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
     "token_packing": QueryDef(

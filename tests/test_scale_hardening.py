@@ -273,3 +273,65 @@ def test_near_dup_clusters_converges_on_chain_star_clique(spark):
     assert [f.name for f in empty.schema.fields] == [
         "doc_id", "cluster_id", "keep_id", "n_members",
     ]
+
+
+def test_values_df_literal_plan_roundtrip(spark):
+    """_values_df builds metadata tables as LocalRelation literals (no
+    python-RDD stage): exact round-trip for strings needing escaping,
+    IEEE-754 doubles, NULLs; empty input yields an empty typed frame."""
+    from ocr_lib_spark.plans.relational import _values_df
+
+    rows = [
+        ("it's", 1, 0.1 + 0.2, None, None),
+        ("a\\b", None, float("inf"), 2.5, -(2**62)),
+    ]
+    schema = "s string, i int, d double, pn double, l long"
+    got = _values_df(spark, rows, schema).toPandas()
+    assert list(got.s) == ["it's", "a\\b"]
+    assert got.d[0] == 0.1 + 0.2  # repr round-trips the double exactly
+    assert got.d[1] == float("inf")
+    assert pd.isna(got.i[1]) and pd.isna(got.pn[0])
+    assert got.l[1] == -(2**62)
+    # no ExistingRDD scan: the plan is a LocalRelation literal
+    plan = _values_df(spark, rows, schema)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan and "ExistingRDD" not in plan
+    empty = _values_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema.simpleString().startswith("struct<s:string,i:int")
+
+
+def test_training_mix_composes_its_stages(spark):
+    """training_mix output is exactly (documents - dropped dup cluster
+    members) ∩ quality floor ∩ per-language hash gate, packed — checks
+    the anti-join/filter WIRING against independently-run stage queries."""
+    import pyspark.sql.functions as F
+
+    from ocr_lib_spark.functions.text import hex_bucket, lang_id, quality_score
+    from ocr_lib_spark.plans import load
+    from ocr_lib_spark.plans.textops import (
+        TRAIN_MIX_MIN_QUALITY,
+        TRAIN_MIX_RATES,
+        _near_dup_clusters,
+        _training_mix,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = _training_mix(spark, sf).toPandas()
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        hex_bucket(F.col("text"), 1000).cast("int").alias("h"),
+    ).toPandas()
+    dropped = set(
+        r.doc_id
+        for r in _near_dup_clusters(spark, sf).where("doc_id != keep_id").collect()
+    )
+    want = set()
+    for r in docs.itertuples():
+        if r.doc_id in dropped or r.q < TRAIN_MIX_MIN_QUALITY:
+            continue
+        if r.h < TRAIN_MIX_RATES.get(r.lang, 0):
+            want.add(r.doc_id)
+    assert set(got.doc_id) == want
+    assert len(want) > 0 and len(want) < len(docs)  # every gate bites
+    assert dropped and (docs.q < TRAIN_MIX_MIN_QUALITY).any()
