@@ -70,7 +70,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # larger Arrow batches amortize per-batch python/Arrow overhead
+        # AND raise the extraction kernel's per-batch payload-memoization
+        # hit rate (real corpora repeat boilerplate payloads). Measured
+        # on the 3M-turn bench corpus (local[8] auto path): 10k->459k,
+        # 24k->629k, 32k->694k, 48k->756k turns/s; 32k keeps 2->8
+        # scaling efficiency at ~0.97 (48k thins it to ~0.88: level-2
+        # gains proportionally more) and bounds in-flight batch memory
+        # to ~32 MB per worker — safe at local[32] and per-executor-core
+        # on a cluster
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32000"),
+        )
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
