@@ -242,9 +242,19 @@ FROM sh GROUP BY doc_id
 """
 
 
+#: hot-bucket cap for the DRIVER-GATED candidate query: same skew
+#: control production uses (near_dup_verified passes the same value).
+#: Uncapped, a boilerplate mega-bucket holding B docs emits B²/2 pairs
+#: (measured at sf0.1: 5.4M pairs from a 5,000-doc corpus, one bucket
+#: holding 57% of docs) — the textbook LSH blow-up at corpus scale.
+LSH_MAX_BUCKET = 100
+
+
 def _lsh_pairs(spark, sf_dir):
     sig = minhash_signatures(_docs(spark, sf_dir), n_hashes=N_HASHES, k=SHINGLE_K)
-    return lsh_candidate_pairs(sig, n_hashes=N_HASHES, band_rows=BAND_ROWS)
+    return lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket_size=LSH_MAX_BUCKET
+    )
 
 
 def _lsh_pairs_oracle() -> str:
@@ -264,9 +274,15 @@ WITH sh AS (
 sig AS (
   SELECT doc_id, {_minhash_sql_mins()}
   FROM sh GROUP BY doc_id),
-bands AS ({bands})
+bands AS ({bands}),
+kept AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT doc_id, band_idx, band_hash,
+           COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+    FROM bands)
+  WHERE bsz <= {LSH_MAX_BUCKET})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
+FROM kept a JOIN kept b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
 
