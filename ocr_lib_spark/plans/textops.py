@@ -123,6 +123,53 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# --- streaming exact dedup (stateful digest aggregation) ---------------------
+
+def _q_stream_exact_dedup(spark, sf_dir):
+    """Exact dedup as a STREAMING aggregation under the driver's gate:
+    documents arrive as a multi-file parquet stream (micro-batched via
+    maxFilesPerTrigger), the digest groupBy runs as a stateful
+    streaming agg (state keyed by md5 digest, updated per micro-batch,
+    map-side combinable like its batch twin), and the complete-mode
+    memory sink must equal the BATCH exact_dedup oracle — stream ==
+    batch, externally verified. Same gate pattern as
+    stream_extract_text (plans/extraction.py). State grows with
+    DISTINCT digests — that is global dedup's semantics; a pipeline
+    that only needs drop-the-dup (no counts) bounds state with
+    dropDuplicatesWithinWatermark instead."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"dedup|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_dedup_src_{tag}"
+    if not _Path(src, "_SUCCESS").exists():
+        _docs(spark, sf_dir).repartition(6).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = sdf.groupBy(F.md5("text").alias("digest")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+    name = f"stream_dedup_{tag}"
+    spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # --- n-gram Jaccard on adjacent-id pairs (bounded pair set; the exact
 # --- verification kernel 100*|∩|/|∪|, core.clj:1039-1050) --------------------
 
@@ -862,6 +909,11 @@ QUERIES = {
     "lang_quality": QueryDef(_lang_quality, _O_LANG_QUALITY, "language-ID heuristic + integer quality score"),
     "doc_fingerprint": QueryDef(_fingerprint, _O_FINGERPRINT, "digest fingerprint + stable hash bucket"),
     "exact_dedup": QueryDef(_exact_dedup, _O_EXACT_DEDUP, "exact dedup via hash-groupBy (set semantics, core.clj:341)"),
+    "stream_exact_dedup": QueryDef(
+        _q_stream_exact_dedup,
+        _O_EXACT_DEDUP,
+        "exact dedup as a stateful streaming aggregation (stream == batch, driver-gated)",
+    ),
     "adjacent_jaccard": QueryDef(_adjacent_jaccard, _O_ADJ_JACCARD, "shingle-set Jaccard kernel (core.clj:1039-1050)"),
     "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),
     "lsh_candidate_pairs": QueryDef(_lsh_pairs, _lsh_pairs_oracle(), "banded LSH near-dup candidates"),
