@@ -20,7 +20,7 @@ verifier runs only on candidates. AQE skew-join splits hot buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_lib_spark.functions.text import char_shingles, stable_hash64
@@ -218,12 +218,19 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
     if max_bucket_size is not None:
-        w = Window.partitionBy("band_idx", "band_hash")
-        allb = (
-            allb.withColumn("__bsz", F.count("*").over(w))
+        # bucket sizes via groupBy + semi join, NOT a count-over-window:
+        # a window partition materializes its whole bucket in one task,
+        # and the very mega-buckets this cap exists to drop (57% of the
+        # corpus in one bucket, measured) would blow that task up first.
+        # groupBy partial-aggregates map-side; the semi join never
+        # multiplies rows (heavy keys simply probe and drop).
+        kept = (
+            allb.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__bsz"))
             .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+            .select("band_idx", "band_hash")
         )
+        allb = allb.join(kept, ["band_idx", "band_hash"], "left_semi")
     a = allb.alias("a")
     b_ = allb.alias("b")
     return (
@@ -458,10 +465,15 @@ def near_dup_clusters(
         prev_sum = new_sum
     else:
         raise RuntimeError(f"near_dup_clusters did not converge in {max_rounds} rounds")
-    wc = Window.partitionBy("lbl")
-    return labels.select(
+    # member counts via groupBy + join, NOT a count-over-window: a
+    # window partitioned by cluster label materializes each cluster in
+    # ONE task, and a degenerate giant cluster (boilerplate-heavy
+    # corpus) is exactly when that breaks. The groupBy partial-
+    # aggregates map-side; the join back is AQE-skew-splittable.
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "lbl").select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         F.col("lbl").alias("keep_id"),
-        F.count("*").over(wc).alias("n_members"),
+        "n_members",
     )
