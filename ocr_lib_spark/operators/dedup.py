@@ -223,7 +223,16 @@ def lsh_candidate_pairs(
         # and the very mega-buckets this cap exists to drop (57% of the
         # corpus in one bucket, measured) would blow that task up first.
         # groupBy partial-aggregates map-side; the semi join never
-        # multiplies rows (heavy keys simply probe and drop).
+        # multiplies rows (heavy keys simply probe and drop). The
+        # banding frame is lazily checkpointed first: the size agg, the
+        # semi probe, and the downstream self-join sides all read the
+        # materialized narrow blocks, so the signature UDF runs ONCE
+        # (without it, the diverging exchanges defeat Spark's
+        # exchange-reuse and the kernel runs per branch — measured 2x).
+        # On a real cluster point sparkContext.setCheckpointDir at
+        # durable storage and use .checkpoint() for executor-loss
+        # resilience.
+        allb = allb.localCheckpoint(eager=False)
         kept = (
             allb.groupBy("band_idx", "band_hash")
             .agg(F.count("*").alias("__bsz"))
