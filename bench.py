@@ -87,6 +87,8 @@ HEADLINE = [
     "stratified_sample",
     "near_dup_clusters",  # added round 3 (pairs -> transitive-closure clusters)
     "training_mix",  # added round 3 (composed dedup->quality->sample->pack)
+    "doc_repetition",  # added round 3 (Gopher-style repetition metrics)
+    "decontaminate",  # added round 3 (8-gram overlap vs holdout set)
 ]
 
 

@@ -123,6 +123,122 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# --- repetition quality metrics (Gopher-style duplicate-text signals) --------
+# The pretraining-quality filter class the lang/quality score doesn't
+# cover: within-document repetition. Emitted as INTEGER numerators /
+# denominators (ratios are a trivial division away) so the cross-engine
+# value-hash gate never sees float formatting drift.
+
+def _doc_repetition(spark, sf_dir):
+    toks = F.split(F.trim("text"), " ")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    # word bigrams via a codegen transform over the token array — the
+    # explode/groupBy shuffle carries (doc_id, bigram) and partial
+    # counts map-side; no python stage anywhere
+    bigrams = F.when(
+        F.col("n_tokens") >= 2,
+        F.expr("transform(sequence(0, cast(size(t) as int) - 2), i -> t[i] || ' ' || t[i+1])"),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_bigram.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    return (
+        base.drop("t")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+_O_DOC_REPETITION = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t,
+         len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+         len(list_distinct(string_split(trim(text), ' ')))::BIGINT AS n_distinct
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - 1),
+                               i -> t[i+1] || ' ' || t[i+2])) AS bg
+  FROM base WHERE len(t) >= 2),
+per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, MAX(c)::BIGINT AS top_bigram_n, SUM(c)::BIGINT AS n_bigrams
+        FROM per GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       COALESCE(a.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+# --- eval decontamination (n-gram overlap vs a holdout set) ------------------
+# The pipeline step that keeps benchmark text out of training data:
+# word-K-gram overlap between corpus docs and a (small) holdout set.
+# The holdout here is a deterministic fixture subset (doc_id % 7 == 0)
+# standing in for a real eval suite; its distinct gram set broadcasts
+# (holdouts are small by nature) and the corpus side streams through a
+# broadcast semi-ish inner join + per-doc distinct count — never a
+# corpus×corpus product.
+
+DECON_K = 8  # word 8-grams — the common decontamination window
+DECON_HOLDOUT_MOD = 7
+
+
+def _decontaminate(spark, sf_dir):
+    toks = F.split(F.trim("text"), " ")
+    grams_expr = F.expr(
+        f"CASE WHEN size(t) >= {DECON_K} THEN "
+        f"transform(sequence(0, cast(size(t) as int) - {DECON_K}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {DECON_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
+    d = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    holdout = (
+        d.where(F.col("doc_id") % DECON_HOLDOUT_MOD == 0).select("g").distinct()
+    )
+    corpus = d.where(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    return (
+        corpus.join(F.broadcast(holdout), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hit_grams"))
+    )
+
+
+_O_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - {DECON_K} + 1),
+                i -> array_to_string(list_slice(t, i + 1, i + {DECON_K}), ' '))) AS g
+  FROM t WHERE len(t) >= {DECON_K}),
+holdout AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+corpus AS (
+  SELECT doc_id, g FROM g WHERE doc_id % {DECON_HOLDOUT_MOD} != 0)
+SELECT c.doc_id, COUNT(DISTINCT c.g)::BIGINT AS n_hit_grams
+FROM corpus c JOIN holdout h ON c.g = h.g
+GROUP BY c.doc_id
+"""
+
+
 # --- streaming exact dedup (stateful digest aggregation) ---------------------
 
 def _q_stream_exact_dedup(spark, sf_dir):
@@ -913,6 +1029,16 @@ QUERIES = {
         _q_stream_exact_dedup,
         _O_EXACT_DEDUP,
         "exact dedup as a stateful streaming aggregation (stream == batch, driver-gated)",
+    ),
+    "doc_repetition": QueryDef(
+        _doc_repetition,
+        _O_DOC_REPETITION,
+        "Gopher-style within-doc repetition metrics (distinct-token + top-bigram counts, pure codegen)",
+    ),
+    "decontaminate": QueryDef(
+        _decontaminate,
+        _O_DECONTAMINATE,
+        "eval decontamination: word-8-gram overlap vs broadcast holdout set",
     ),
     "adjacent_jaccard": QueryDef(_adjacent_jaccard, _O_ADJ_JACCARD, "shingle-set Jaccard kernel (core.clj:1039-1050)"),
     "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),
