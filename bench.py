@@ -89,6 +89,7 @@ HEADLINE = [
     "training_mix",  # added round 3 (composed dedup->quality->sample->pack)
     "doc_repetition",  # added round 3 (Gopher-style repetition metrics)
     "decontaminate",  # added round 3 (8-gram overlap vs holdout set)
+    "ivf_train_step",  # added round 3 (distributed Lloyd step, integer stats)
 ]
 
 

@@ -310,9 +310,77 @@ WHERE rank <= {IVF_K}
 """
 
 
+# --- IVF codebook training: one distributed Lloyd step -----------------------
+# The index-BUILDING path production ANN needs (ivf_topk consumes a
+# trained codebook; this is how it trains at corpus scale): assign every
+# vector to its nearest current centroid (broadcast codebook, one pass),
+# then reduce per-(centroid, dim) sufficient statistics of the new
+# means. Statistics are emitted as INTEGER-SCALED sums + counts — each
+# element is floor(v*1e6) BEFORE summation, so the sum is
+# order-independent and bit-identical across engines, partitionings and
+# cluster sizes (float sums are not: summation order drifts ulps). The
+# new mean is sum_scaled/(n*1e6) downstream; iterate to convergence.
+
+TRAIN_SCALE = 1_000_000
+
+
+def _ivf_train_step(spark, sf_dir):
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.where(F.col("vec_id") % 64 == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # same pinned assignment semantics as ivf_topk's relational twin
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("acos", _cos(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("acos"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    return (
+        assign.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("centroid_id", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.sum(F.floor(F.col("val") * TRAIN_SCALE).cast("long")).alias("sum_scaled"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select("centroid_id", "dim", "sum_scaled", "n")
+    )
+
+
+_O_IVF_TRAIN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 1),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="cent.cv")} DESC, cent.centroid_id) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+ex AS (
+  SELECT a.centroid_id, d.i::INT AS dim,
+         FLOOR(a.v[d.i + 1] * {TRAIN_SCALE})::BIGINT AS scaled
+  FROM assign a CROSS JOIN (SELECT unnest(range(len((SELECT v FROM e LIMIT 1)))) AS i) d)
+SELECT centroid_id, dim, SUM(scaled)::BIGINT AS sum_scaled, COUNT(*)::BIGINT AS n
+FROM ex GROUP BY centroid_id, dim
+"""
+
+
 QUERIES = {
     "cosine_topk": QueryDef(_cosine_topk, _O_COSINE, "exact brute-force cosine top-k (broadcast argmax)"),
     "ivf_topk": QueryDef(_ivf_topk, _O_IVF, "IVF ANN: coarse quantize -> inverted-list join -> exact rerank"),
+    "ivf_train_step": QueryDef(
+        _ivf_train_step,
+        _O_IVF_TRAIN,
+        "one distributed Lloyd step: assign + integer-scaled per-(centroid,dim) mean statistics",
+    ),
     "ann_lsh_buckets": QueryDef(_lsh_buckets, _O_LSH_BUCKETS, "sign-bucket LSH histogram (ANN scale path)"),
     "knn_label_vote": QueryDef(_knn_vote, _O_KNN, "kNN majority-vote classification, pinned ties"),
     "embedding_near_dup": QueryDef(_near_dup, _O_NEAR_DUP, "LSH-bucketed cosine near-dup (bucket prune + exact verify)"),
