@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_repetition",  # added round 3 (Gopher-style repetition metrics)
     "decontaminate",  # added round 3 (8-gram overlap vs holdout set)
     "ivf_train_step",  # added round 3 (distributed Lloyd step, integer stats)
+    "simhash_near_dup",  # added round 3 (banded hamming blocking + popcount)
 ]
 
 

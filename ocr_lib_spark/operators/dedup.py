@@ -399,6 +399,70 @@ def _sign_bucket(vec, n_bits: int):
     return b.cast("int")
 
 
+def simhash_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    n_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded hamming blocking: split the
+    fingerprint into ``bands`` equal bit-slices; by pigeonhole, two
+    hashes within ``max_hamming`` (< bands) differ in at most
+    ``bands - 1`` slices, so they COLLIDE on at least one band — the
+    band equi-join generates every candidate, and an exact
+    ``bit_count(xor)`` filter keeps true pairs. The simhash analog of
+    MinHash banded LSH; all pure Catalyst (shift/mask/xor/popcount are
+    codegen), the only shuffle is the band-key join. Band width is the
+    scale knob: production uses a 64-bit hash with 4x16-bit bands
+    (65,536 values per band keep buckets small); the fixture runs
+    narrower bands purely because the vote-per-bit oracle SQL grows
+    with n_bits. ``max_bucket_size`` is the same hot-bucket skew cap as
+    ``lsh_candidate_pairs`` (degenerate template buckets emit B**2/2
+    pairs), mirrored exactly by the SQL oracle."""
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    slices = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"shiftright({hash_col}, {b * width}) & {mask}").alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    allb = fp.select(
+        F.col(id_col), F.col(hash_col).alias("h"), F.explode(F.array(*slices)).alias("s")
+    ).select(
+        id_col, "h", F.col("s.band_idx").alias("band_idx"), F.col("s.band_val").alias("band_val")
+    )
+    if max_bucket_size is not None:
+        allb = allb.localCheckpoint(eager=False)  # see lsh_candidate_pairs
+        kept = (
+            allb.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("__bsz"))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        allb = allb.join(kept, ["band_idx", "band_val"], "left_semi")
+    a, b_ = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.h ^ b.h)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

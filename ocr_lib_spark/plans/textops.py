@@ -484,6 +484,67 @@ SELECT doc_id, ({fp}) AS simhash_low FROM v
 """
 
 
+# --- SimHash near-dup pairs (banded hamming blocking) ------------------------
+# The pairing step simhash exists FOR: fingerprints within hamming<=3
+# found by band collision + exact popcount verify — see
+# operators/dedup.py::simhash_near_dup_pairs for the scale notes
+# (production: 64-bit hash, 4x16-bit bands).
+
+SIMHASH_ND_BANDS = 4
+SIMHASH_ND_MAX_HAMMING = 3
+SIMHASH_ND_MAX_BUCKET = 200
+
+
+def _simhash_near_dup(spark, sf_dir):
+    from ocr_lib_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+
+    fp = simhash_bits(_docs(spark, sf_dir), n_bits=SIMHASH_BITS)
+    return simhash_near_dup_pairs(
+        fp,
+        n_bits=SIMHASH_BITS,
+        bands=SIMHASH_ND_BANDS,
+        max_hamming=SIMHASH_ND_MAX_HAMMING,
+        max_bucket_size=SIMHASH_ND_MAX_BUCKET,
+    )
+
+
+def _simhash_near_dup_oracle() -> str:
+    width = SIMHASH_BITS // SIMHASH_ND_BANDS
+    mask = (1 << width) - 1
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash_low AS h, {b} AS band_idx, "
+        f"(simhash_low >> {b * width}) & {mask} AS band_val FROM fp"
+        for b in range(SIMHASH_ND_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+  FROM toks WHERE tok <> ''),
+v AS (
+  SELECT doc_id,
+         {",".join(f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(SIMHASH_BITS))}
+  FROM h GROUP BY doc_id),
+fp AS (
+  SELECT doc_id,
+         ({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS))}) AS simhash_low
+  FROM v),
+bands AS ({bands_sql}),
+kept AS (
+  SELECT doc_id, h, band_idx, band_val FROM (
+    SELECT doc_id, h, band_idx, band_val,
+           COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+    FROM bands)
+  WHERE bsz <= {SIMHASH_ND_MAX_BUCKET})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.h, b.h))::INT AS hamming
+FROM kept a JOIN kept b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {SIMHASH_ND_MAX_HAMMING}
+"""
+
+
 # --- BPE-ish token budget + rolling-hash fingerprints ------------------------
 
 def _token_fingerprints(spark, sf_dir):
@@ -1053,6 +1114,11 @@ QUERIES = {
         _training_mix,
         _training_mix_oracle(),
         "composed end-to-end pipeline: cluster dedup -> quality floor -> per-language hash downsampling -> token packing (one plan, all scale shapes)",
+    ),
+    "simhash_near_dup": QueryDef(
+        _simhash_near_dup,
+        _simhash_near_dup_oracle(),
+        "simhash near-dup pairs: banded hamming blocking + exact popcount verify",
     ),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
     "token_packing": QueryDef(
