@@ -335,3 +335,44 @@ def test_training_mix_composes_its_stages(spark):
     assert set(got.doc_id) == want
     assert len(want) > 0 and len(want) < len(docs)  # every gate bites
     assert dropped and (docs.q < TRAIN_MIX_MIN_QUALITY).any()
+
+
+def test_simhash_banded_pairs_equal_brute_force_hamming(spark):
+    """Pigeonhole completeness: with no bucket cap, banded blocking +
+    popcount verify finds EXACTLY the brute-force hamming<=3 pair set
+    (a <=3-bit difference across 4 bands leaves some band identical)."""
+    import itertools
+    import random
+
+    from ocr_lib_spark.operators.dedup import simhash_near_dup_pairs
+
+    rng = random.Random(7)
+    fps = [(i, rng.getrandbits(20)) for i in range(200)]
+    # seed some deliberate near-misses: copies at hamming 1-4
+    for j, flips in ((0, 1), (1, 2), (2, 3), (3, 4)):
+        h = fps[j][1]
+        for b in rng.sample(range(20), flips):
+            h ^= 1 << b
+        fps.append((1000 + j, h))
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(fps, 2):
+        if bin(ha ^ hb).count("1") <= 3:
+            want.add((min(ia, ib), max(ia, ib)))
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = simhash_near_dup_pairs(df, n_bits=20, bands=4, max_hamming=3).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert (got.hamming <= 3).all()
+    # the hamming-4 seeded copy must NOT pair with its source
+    assert (1003, 1003) not in want and not ((got.id_a == 3) & (got.id_b == 1003)).any()
+
+
+def test_doc_repetition_invariants(spark):
+    """Totality + arithmetic invariants on the driver fixture."""
+    from ocr_lib_spark.plans.textops import _doc_repetition
+
+    got = _doc_repetition(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(got) == 500  # one row per doc, bigram-less docs included
+    assert (got.n_distinct <= got.n_tokens).all()
+    assert (got.n_bigrams == (got.n_tokens - 1).clip(lower=0)).all()
+    assert (got.top_bigram_n <= got.n_bigrams).all()
+    assert ((got.top_bigram_n > 0) == (got.n_bigrams > 0)).all()
