@@ -91,6 +91,7 @@ HEADLINE = [
     "decontaminate",  # added round 3 (8-gram overlap vs holdout set)
     "ivf_train_step",  # added round 3 (distributed Lloyd step, integer stats)
     "simhash_near_dup",  # added round 3 (banded hamming blocking + popcount)
+    "pii_scrub",  # added round 3 (email/phone redaction + audit counts)
 ]
 
 

@@ -239,6 +239,67 @@ GROUP BY c.doc_id
 """
 
 
+# --- PII scrubbing (redaction with audit counts) -----------------------------
+# The compliance step every training-data pipeline carries: redact
+# email/phone-shaped spans, count what was redacted. The fixture corpus
+# contains no PII, so a deterministic contact suffix is DERIVED in
+# closed form on BOTH engines (the unicode-twin pattern): every doc
+# gains an email, docs with doc_id % 3 == 0 also gain a 10-digit
+# phone — so the phone count actually varies and the gate pins both
+# the redaction regexes and their interaction order. Patterns are
+# RE2-safe (no lookahead) per the shared-regex policy. The scrubbed
+# text is fingerprinted (md5) so the driver hashes a scalar, not a
+# kilobyte string; redaction position and content are still pinned
+# exactly.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{10}"
+
+
+def _pii_scrub(spark, sf_dir):
+    phone = F.lpad(
+        ((F.col("doc_id") * 2654435761) % 10000000000).cast("string"), 10, "0"
+    )
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" tel "), phone)).otherwise(
+            F.lit("")
+        ),
+    )
+    d = _docs(spark, sf_dir).withColumn("contact", contact)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("contact"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("fp_scrubbed"),
+        F.regexp_count("contact", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("contact", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+_O_PII_SCRUB = f"""
+WITH c AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' tel ' || lpad(((doc_id * 2654435761) % 10000000000)::VARCHAR, 10, '0')
+              ELSE '' END AS contact
+  FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(contact, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS fp_scrubbed,
+       len(regexp_extract_all(contact, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(contact, '{PII_PHONE_RE}'))::BIGINT AS n_phones
+FROM c
+"""
+
+
 # --- streaming exact dedup (stateful digest aggregation) ---------------------
 
 def _q_stream_exact_dedup(spark, sf_dir):
@@ -1090,6 +1151,11 @@ QUERIES = {
         _q_stream_exact_dedup,
         _O_EXACT_DEDUP,
         "exact dedup as a stateful streaming aggregation (stream == batch, driver-gated)",
+    ),
+    "pii_scrub": QueryDef(
+        _pii_scrub,
+        _O_PII_SCRUB,
+        "PII redaction (email/phone) with audit counts over derived contact spans",
     ),
     "doc_repetition": QueryDef(
         _doc_repetition,
