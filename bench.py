@@ -24,7 +24,10 @@ BENCH/BASELINE.md).
 Each level reports best-of-OCR_BENCH_REPS steady-state runs (python
 workers + codegen pre-warmed), for both the no-shuffle path (balanced
 input, production default) and the forced salted-repartition path
-(skewed-input mode).
+(skewed-input mode). Round 4: the auto path is sized for EQUAL SECONDS
+per level (the higher level processes level-ratio× the turns in one
+plan), the pair count is FIXED (no adaptive stopping), and every
+per-pair throughput sample is recorded in the output.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), OCR_BENCH_REPLICATION (default 200),
@@ -92,6 +95,8 @@ HEADLINE = [
     "ivf_train_step",  # added round 3 (distributed Lloyd step, integer stats)
     "simhash_near_dup",  # added round 3 (banded hamming blocking + popcount)
     "pii_scrub",  # added round 3 (email/phone redaction + audit counts)
+    "ivf_train_loop",  # added round 4 (3-iteration k-means, codebook collect between rounds)
+    "ivf_topk_trained",  # added round 4 (IVF search over the trained codebook)
 ]
 
 
@@ -121,12 +126,27 @@ def build_corpus(spark) -> str:
     return path
 
 
-def extraction_worker(cores: int, path: str) -> None:
+def extraction_worker(cores: int, path: str, inflate: int = 1) -> None:
     """Child process: fresh JVM at local[cores]; time the steady-state
     extraction job (python workers + codegen warmed on a 2% sample so
     the measurement is throughput, not process-spawn latency). Reports
     best-of-REPS for both the balanced-input path (no shuffle) and the
-    skewed-input path (forced salted repartition)."""
+    skewed-input path (forced salted repartition).
+
+    ``inflate`` = equal-seconds-per-level sizing (round 4): the auto
+    path replicates the corpus ``inflate``× IN-PLAN (explode a
+    sequence — pure Catalyst, no extra parquet) so every level's timed
+    job runs comparable wall seconds. Without it the higher level's
+    job is levels-ratio× shorter and the ~0.6s fixed per-job cost
+    (scan planning, job scheduling, result fetch) compresses its
+    throughput ~8-11% while costing the low level ~4% — the r03
+    recorded auto efficiency of 0.697 vs a ~0.96 steady-state ratio
+    was mostly this measurement artifact (decomposition in
+    BENCH/BASELINE.md). tps stays honest: turns actually processed /
+    seconds of that same job. The salted path keeps inflate=1 — it
+    shuffles its whole input through this one JVM, and 4× the corpus
+    would measure spill behavior, not scaling (its job is long enough
+    already; per-path turn counts are reported)."""
     from pyspark.sql import functions as F
 
     from ocr_lib_spark.pipeline import extract_turns
@@ -144,15 +164,22 @@ def extraction_worker(cores: int, path: str) -> None:
         driver_memory="12g",
     )
     df = spark.read.parquet(path)
+    big = df
+    if inflate > 1:
+        big = (
+            df.withColumn("r2", F.explode(F.sequence(F.lit(0), F.lit(inflate - 1))))
+            .withColumn("conv_id", F.concat_ws("~", "conv_id", F.col("r2").cast("string")))
+            .drop("r2")
+        )
     extract_turns(df.sample(0.02, seed=1), partitions=cores).agg(
         F.count("*")
     ).collect()  # warm-up: spawn python workers, JIT codegen, shuffle machinery
 
-    def timed(repartition) -> tuple[int, float]:
+    def timed(src, repartition) -> tuple[int, float]:
         best, n = None, 0
         for _ in range(REPS):
             t0 = time.monotonic()
-            res = extract_turns(df, partitions=cores, repartition=repartition).agg(
+            res = extract_turns(src, partitions=cores, repartition=repartition).agg(
                 F.count("*").alias("n"), F.sum("n_blocks").alias("nb")
             ).collect()[0]
             secs = time.monotonic() - t0
@@ -160,16 +187,17 @@ def extraction_worker(cores: int, path: str) -> None:
             best = secs if best is None else min(best, secs)
         return n, best
 
-    n, secs = timed("auto")
-    _, secs_shuffle = timed(True)
+    n, secs = timed(big, "auto")
+    n_salt, secs_shuffle = timed(df, True)
     print(
         json.dumps(
             {
                 "turns": n,
                 "secs": secs,
                 "tps": n / secs,
+                "turns_salted": n_salt,
                 "secs_salted_shuffle": secs_shuffle,
-                "tps_salted_shuffle": n / secs_shuffle,
+                "tps_salted_shuffle": n_salt / secs_shuffle,
             }
         )
     )
@@ -207,7 +235,8 @@ def run_headline(spark) -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--extract-worker":
-        extraction_worker(int(sys.argv[2]), sys.argv[3])
+        inflate = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        extraction_worker(int(sys.argv[2]), sys.argv[3], inflate)
         return
 
     from ocr_lib_spark.session import get_spark
@@ -225,8 +254,18 @@ def main() -> None:
     # (2, 8, 2, 8 — not 2, 2, 8, 8) makes both levels sample the same
     # host states so drift cancels out of the ratio instead of landing
     # entirely on one level.
-    jvms = int(os.environ.get("OCR_BENCH_JVMS", "2"))
+    # FIXED pair count (round 4, advisor): the round-3 adaptive
+    # resampling ("run extra pairs only while the ratio is < 0.90") was
+    # an optional-stopping rule on the headline metric — one-sided
+    # selection even with the pair count disclosed. Now every run
+    # executes exactly OCR_BENCH_JVMS interleaved pairs (default 3,
+    # ≈ the r03 effective sample size), records EVERY per-pair sample
+    # (extraction.levels[L].samples_tps*), and the estimator —
+    # best-observed steady-state per level, applied symmetrically to
+    # both levels and both paths — is fixed before the data arrives.
+    jvms = int(os.environ.get("OCR_BENCH_JVMS", "3"))
     levels: dict[str, dict] = {}
+    base = min(LEVELS)
 
     def run_pair() -> None:
         """One interleaved pass over LEVELS (a fresh JVM per level),
@@ -235,8 +274,16 @@ def main() -> None:
         (contention/JIT/GC only ever slow a run down), so more samples
         only move each level TOWARD its true capability."""
         for cores in LEVELS:
+            inflate = cores // base  # equal-seconds sizing, see extraction_worker
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--extract-worker", str(cores), path],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--extract-worker",
+                    str(cores),
+                    path,
+                    str(inflate),
+                ],
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -246,8 +293,12 @@ def main() -> None:
             run = json.loads(line)
             best = levels.get(str(cores))
             if best is None:
+                run["samples_tps"] = [round(run["tps"], 1)]
+                run["samples_tps_salted"] = [round(run["tps_salted_shuffle"], 1)]
                 levels[str(cores)] = run
             else:
+                best["samples_tps"].append(round(run["tps"], 1))
+                best["samples_tps_salted"].append(round(run["tps_salted_shuffle"], 1))
                 for tps_key, secs_key in (
                     ("tps", "secs"),
                     ("tps_salted_shuffle", "secs_salted_shuffle"),
@@ -258,28 +309,14 @@ def main() -> None:
 
     for _ in range(jvms):
         run_pair()
+    pairs_used = jvms
 
     lo, hi = str(min(LEVELS)), str(max(LEVELS))
     ratio = max(LEVELS) / min(LEVELS)
 
-    def auto_eff() -> float | None:
-        return levels[hi]["tps"] / (ratio * levels[lo]["tps"]) if len(LEVELS) > 1 else None
-
-    # Adaptive resampling against one-sided noise: if the interleaved
-    # pairs still leave the auto-path ratio below the same-code median
-    # band (~0.95 on this host; samples of identical code range
-    # 0.67-1.05 non-interleaved), one level caught a slow host window
-    # in EVERY sampled JVM. Extend best-of-N with up to
-    # OCR_BENCH_EXTRA_PAIRS more interleaved pairs — same estimator,
-    # larger N, and the pair count is recorded in the output
-    # (extraction.jvm_pairs) so the sample size is never hidden.
-    extra_cap = int(os.environ.get("OCR_BENCH_EXTRA_PAIRS", "2"))
-    pairs_used = jvms
-    while len(LEVELS) > 1 and auto_eff() < 0.90 and pairs_used < jvms + extra_cap:
-        run_pair()
-        pairs_used += 1
-
-    eff_auto = auto_eff()
+    eff_auto = (
+        levels[hi]["tps"] / (ratio * levels[lo]["tps"]) if len(LEVELS) > 1 else None
+    )
     eff_shuffle = (
         levels[hi]["tps_salted_shuffle"] / (ratio * levels[lo]["tps_salted_shuffle"])
         if len(LEVELS) > 1

@@ -422,6 +422,19 @@ def simhash_near_dup_pairs(
     with n_bits. ``max_bucket_size`` is the same hot-bucket skew cap as
     ``lsh_candidate_pairs`` (degenerate template buckets emit B**2/2
     pairs), mirrored exactly by the SQL oracle."""
+    # the pigeonhole completeness argument above REQUIRES these; a
+    # violating caller would get silent recall loss (max_hamming >=
+    # bands) or bits excluded from every band (n_bits % bands != 0)
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be in [0, bands) — bands={bands}; "
+            "banded blocking is only complete below the band count"
+        )
+    if n_bits % bands != 0:
+        raise ValueError(
+            f"n_bits ({n_bits}) must be divisible by bands ({bands}); "
+            "otherwise the top n_bits % bands bits are in no band"
+        )
     width = n_bits // bands
     mask = (1 << width) - 1
     slices = [
@@ -485,10 +498,11 @@ def near_dup_clusters(
     joins + groupBy on the id key (parallel, map-side combinable); the
     driver loop is over ROUNDS, and per-round state is truncated with
     an eager localCheckpoint so plan lineage stays flat (use a reliable
-    checkpoint dir on a real cluster). Convergence is detected by the
-    label-sum fixpoint: labels only ever decrease, so an unchanged
-    SUM(label) means an unchanged labeling — one cheap agg per round,
-    no row-level diff join.
+    checkpoint dir on a real cluster). Convergence is detected by
+    counting CHANGED labels (new vs previous round, one equi-join on
+    the id key + count) — overflow-free at any id magnitude, unlike a
+    SUM(label) fixpoint which can exceed int64 at 10^9+ docs with
+    large ids (failing under ANSI mode or wrapping silently).
 
     Near-dup graphs are overwhelmingly tiny cliques/chains (dup
     clusters), so real round counts are 1-3; ``max_rounds`` is a
@@ -510,14 +524,6 @@ def near_dup_clusters(
         .select(F.col("s").alias("id"), "lbl")
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    if prev_sum is None:  # empty pair set
-        return labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("lbl").alias("cluster_id"),
-            F.col("lbl").alias("keep_id"),
-            F.lit(1).cast("long").alias("n_members"),
-        )
     for _ in range(max_rounds):
         prop = edges.join(labels.withColumnRenamed("id", "s"), "s").select(
             F.col("d").alias("id"), "lbl"
@@ -525,17 +531,27 @@ def near_dup_clusters(
         merged = labels.union(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
         # pointer jump: adopt the label of your label (labels are ids)
         lab2 = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
-        labels = (
+        new_labels = (
             merged.join(lab2, "lbl", "left")
             .select("id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
-            # lazy: the convergence agg below is the action that
+            # lazy: the convergence count below is the action that
             # materializes the checkpoint — one job per round, not two
             .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:
+        # changed-label count: labels only ever decrease, so zero
+        # changed rows == fixpoint; join keys on id (same hash
+        # partitioning as every other per-round join) and the count is
+        # map-side combinable. Overflow-free vs a SUM(lbl) probe.
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("lbl").alias("prev_lbl")), "id"
+            )
+            .where(F.col("lbl") != F.col("prev_lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(f"near_dup_clusters did not converge in {max_rounds} rounds")
     # member counts via groupBy + join, NOT a count-over-window: a

@@ -109,6 +109,13 @@ def probe_image_dims(buf: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+#: ceiling on h*(stride+1) a PNG may inflate to (64 MiB of raw scanline
+#: bytes ≈ a 4096×4096 RGBA image) — decode_image_meta feeds this
+#: decoder arbitrary corpus payloads, so the bound is a DoS guard, not
+#: a format limit
+PNG_MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def png_decode(buf: bytes):
     """STDLIB-ONLY PNG pixel decode (zlib inflate + per-row unfilter):
     returns an (h, w, channels) uint8 numpy array, or None when the
@@ -151,9 +158,18 @@ def png_decode(buf: bytes):
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if depth != 8 or channels is None or comp or filt or interlace or not (w and h):
             return None
-        raw = zlib.decompress(b"".join(idat))
         stride = w * channels
-        if len(raw) != h * (stride + 1):
+        expect = h * (stride + 1)
+        # Untrusted-payload hardening: bound the decode by the IHDR
+        # geometry BEFORE inflating, and inflate at most expect+1 bytes
+        # (decompressobj max_length) — a ~1MB zip-bomb IDAT or a crafted
+        # huge-w/h header can no longer allocate gigabytes per row; a
+        # stream longer than expect yields expect+1 bytes -> rejected by
+        # the exact-length check, same as the old full-inflate semantics.
+        if expect > PNG_MAX_DECODED_BYTES:
+            return None
+        raw = zlib.decompressobj().decompress(b"".join(idat), expect + 1)
+        if len(raw) != expect:
             return None
         raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)

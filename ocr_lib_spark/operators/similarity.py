@@ -10,8 +10,12 @@ core.clj:1020-1069). Lifted to vectors:
                       (+ optional neighbor probing) — the 100 TB path.
 
 Cosine is computed with built-in higher-order array functions
-(zip_with/aggregate → JVM codegen, no Python); top-k via window
-row_number, never a driver-side sort.
+(zip_with/aggregate → JVM codegen, no Python); top-k is TWO-PHASE:
+local top-k inside each scan partition, then a global merge over the
+P×k survivors per query — the reference's argmax is a running fold
+(core.clj:1027-1068), never a full sort, and neither is this. A
+single window over query_id would materialize the whole corpus in ONE
+task per query (the count-over-degenerate-key scale-killer class).
 """
 
 from __future__ import annotations
@@ -29,6 +33,29 @@ def _cosine(av, bv):
     return dot / (na * nb)
 
 
+def _topk_two_phase(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query over (query_id, neighbor_id, cosine) rows,
+    scale-safe: phase 1 ranks within (query_id, scan partition) — P×Q
+    groups, all parallel, each holding |corpus|/P rows — and keeps k;
+    phase 2 merges the ≤ P×k survivors per query (tiny) into the final
+    rank. (cosine DESC, neighbor_id ASC) is a total order (ids are
+    unique), so any global top-k row is also in its own partition's
+    top-k: the two-phase result is exactly the single-window result,
+    independent of partitioning. Window twin pinned in tests."""
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    local = scored.withColumn("part", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "part").orderBy(*order)
+    survivors = (
+        local.withColumn("lr", F.row_number().over(w_local))
+        .where(F.col("lr") <= k)
+        .drop("lr", "part")
+    )
+    w_merge = Window.partitionBy("query_id").orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w_merge)).where(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -36,7 +63,8 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: broadcast(queries) × corpus, cosine, windowed top-k.
+    """Exact top-k: broadcast(queries) × corpus, cosine, two-phase
+    local-then-merge top-k (no task ever ranks the whole corpus).
     Deterministic rank tie-break by neighbor id ascending."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -48,12 +76,7 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_two_phase(scored, k).select("query_id", "rank", "neighbor_id", "cosine")
 
 
 def lsh_topk(
@@ -82,12 +105,7 @@ def lsh_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_two_phase(scored, k).select("query_id", "rank", "neighbor_id", "cosine")
 
 
 def knn_label_vote(

@@ -212,18 +212,38 @@ def _assign_centroids_arrow(e, cent_rows):
     return e.select("vec_id", "v").mapInPandas(run, schema=schema)
 
 
-def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True):
+def _codebook_values_df(spark, cent_rows):
+    """Driver-side codebook -> LocalRelation (SQL VALUES literal with
+    array() + exact repr double literals — see relational._values_df for
+    why not createDataFrame: a python-list DataFrame is Scan ExistingRDD
+    and re-runs a python stage per action). repr() round-trips IEEE-754,
+    so the literals parse back to the identical doubles."""
+    rows = ", ".join(
+        f"({cid}L, array({', '.join(f'CAST({x!r} AS DOUBLE)' for x in vec)}))"
+        for cid, vec in cent_rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(centroid_id, cv)")
+
+
+def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True, trained: bool = False):
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if trained:
+        # production shape: the codebook is the k-means training output
+        # (a bounded k×dim table), shipped as a LocalRelation + broadcast
+        codebook, _ = _train_codebook(e, IVF_TRAIN_ITERS)
+        cent_plain = _codebook_values_df(spark, codebook)
+    else:
+        # seed-rule codebook (untrained stand-in; kept as the cheap twin)
+        cent_plain = e.where(F.col("vec_id") % 64 == 1).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
     # keep the broadcast hint OFF the plan we .collect() (a hinted
     # non-join plan logs HintErrorLogger warnings); hint only the copy
     # that actually joins
-    cent_plain = e.where(F.col("vec_id") % 64 == 1).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
     cent = F.broadcast(cent_plain)
     if vectorized_assign:
         # the quantizer is a small bounded table (a trained k-means
@@ -260,9 +280,12 @@ def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True):
         .where(f"rn <= {IVF_NPROBE}")
         .select("query_id", "qv", "centroid_id")
     )
-    # inverted-list candidates: equi-join on centroid_id, exact rerank
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    # inverted-list candidates: equi-join on centroid_id, exact rerank.
+    # Rank via the two-phase local-then-merge top-k — a hot inverted
+    # list (skewed quantizer cell) never lands in one ranking task.
+    from ocr_lib_spark.operators.similarity import _topk_two_phase
+
+    cand = (
         probes.join(assign, "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -270,9 +293,12 @@ def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True):
             F.col("vec_id").alias("neighbor_id"),
             _cos(F.col("qv"), F.col("v")).alias("cosine"),
         )
-        .withColumn("rank", F.row_number().over(wr).cast("int"))
-        .where(f"rank <= {IVF_K}")
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
+    )
+    return _topk_two_phase(cand, IVF_K).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r6"),
     )
 
 
@@ -373,9 +399,169 @@ FROM ex GROUP BY centroid_id, dim
 """
 
 
+# --- full k-means training loop + trained-codebook IVF search ----------------
+# Round 4 (VERDICT item #5): iterate the Lloyd step to a FIXED number of
+# iterations and feed the trained codebook into ivf_topk, replacing the
+# vec_id % 64 seed-rule stand-in. Between iterations the codebook (a
+# bounded k×dim table — the one legitimately driver-sized object in the
+# ANN path) is collected and re-broadcast; all per-vector work stays
+# distributed. Determinism across engines:
+#   * per-(centroid, dim) statistics are integer-scaled sums
+#     (floor(v*1e6) summed as BIGINT — order-independent),
+#   * the new mean is sum_scaled / (n * 1e6): both operands are exactly
+#     representable doubles (< 2^53), so the correctly-rounded IEEE
+#     quotient is bit-identical in Python, Spark, and DuckDB,
+#   * assignment cosine uses the pinned sequential fold order
+#     (_assign_centroids_arrow contract), tie-break (cos DESC, cid ASC),
+#   * a centroid that loses all members simply drops out of the next
+#     round's codebook in BOTH engines (no rows -> no centroid).
+# A fixed iteration count (not an epsilon test) keeps the DuckDB twin
+# expressible as an unrolled CTE chain.
+
+IVF_TRAIN_ITERS = 3
+
+
+def _lloyd_stats(e, cent_rows):
+    """One Lloyd step given a driver-side codebook: Arrow nearest-
+    centroid assignment, then integer-scaled per-(centroid, dim) mean
+    statistics (posexplode + map-side-combinable groupBy)."""
+    assign = _assign_centroids_arrow(e, cent_rows)
+    return (
+        assign.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("centroid_id", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.sum(F.floor(F.col("val") * TRAIN_SCALE).cast("long")).alias("sum_scaled"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select("centroid_id", "dim", "sum_scaled", "n")
+    )
+
+
+def _rebuild_codebook(stat_rows):
+    """stats rows -> [(centroid_id, mean_vector)] with the exact
+    sum_scaled/(n*SCALE) division both engines reproduce."""
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in stat_rows:
+        by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["sum_scaled"] / (
+            r["n"] * TRAIN_SCALE
+        )
+    return sorted(
+        (cid, [dims[d] for d in sorted(dims)]) for cid, dims in by_cid.items()
+    )
+
+
+def _seed_codebook(e):
+    rows = (
+        e.where(F.col("vec_id") % 64 == 1)
+        .select(F.col("vec_id").alias("centroid_id"), "v")
+        .collect()
+    )
+    return sorted((r["centroid_id"], list(r["v"])) for r in rows)
+
+
+def _train_codebook(e, iters: int):
+    """Run ``iters`` Lloyd iterations; returns (codebook, last_stats_df).
+    The collect between rounds is the k×dim codebook only — never
+    per-vector data."""
+    cent_rows = _seed_codebook(e)
+    stats = None
+    for it in range(iters):
+        stats = _lloyd_stats(e, cent_rows)
+        if it < iters - 1:
+            cent_rows = _rebuild_codebook(stats.collect())
+    return _rebuild_codebook(stats.collect()), stats
+
+
+def _ivf_train_loop(spark, sf_dir):
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, stats = _train_codebook(e, IVF_TRAIN_ITERS)
+    return stats
+
+
+def _train_cte_chain(iters: int) -> str:
+    """Unrolled DuckDB twin of the training loop: cent0 = seed rule,
+    then assign{i} -> stats{i} -> cent{i} per iteration."""
+    sql = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "cent0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 1)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+assign{i} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="c.cv")} DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN cent{i - 1} c) WHERE rn = 1),
+stats{i} AS (
+  SELECT a.centroid_id, d.i::INT AS dim,
+         SUM(FLOOR(a.v[d.i + 1] * {TRAIN_SCALE})::BIGINT)::BIGINT AS sum_scaled,
+         COUNT(*)::BIGINT AS n
+  FROM assign{i} a
+  CROSS JOIN (SELECT unnest(range(len((SELECT v FROM e LIMIT 1)))) AS i) d
+  GROUP BY a.centroid_id, d.i),
+cent{i} AS (
+  SELECT centroid_id,
+         list(sum_scaled::DOUBLE / (n::DOUBLE * {TRAIN_SCALE}) ORDER BY dim) AS cv
+  FROM stats{i} GROUP BY centroid_id)"""
+    return sql
+
+
+_O_IVF_TRAIN_LOOP = (
+    _train_cte_chain(IVF_TRAIN_ITERS)
+    + f"\nSELECT centroid_id, dim, sum_scaled, n FROM stats{IVF_TRAIN_ITERS}"
+)
+
+
+def _ivf_search_sql(cent: str) -> str:
+    """Probe/assign/rerank tail of the IVF oracle against centroid CTE
+    ``cent`` (shared by the seed-rule and trained-codebook twins)."""
+    return f""",
+s_assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="c.cv")} DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cent} c) WHERE rn = 1),
+s_probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_COS.format(a="e.v", b="c.cv")} DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cent} c WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+s_cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DD_COS.format(a="p.qv", b="a.v")} AS cosine
+  FROM s_probes p JOIN s_assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 6) AS cosine_r6
+FROM (SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s_cand)
+WHERE rank <= {IVF_K}"""
+
+
+_O_IVF_TRAINED = _train_cte_chain(IVF_TRAIN_ITERS) + _ivf_search_sql(
+    f"cent{IVF_TRAIN_ITERS}"
+)
+
+
 QUERIES = {
     "cosine_topk": QueryDef(_cosine_topk, _O_COSINE, "exact brute-force cosine top-k (broadcast argmax)"),
     "ivf_topk": QueryDef(_ivf_topk, _O_IVF, "IVF ANN: coarse quantize -> inverted-list join -> exact rerank"),
+    "ivf_train_loop": QueryDef(
+        lambda spark, sf_dir: _ivf_train_loop(spark, sf_dir),
+        _O_IVF_TRAIN_LOOP,
+        f"{IVF_TRAIN_ITERS}-iteration distributed k-means (integer-scaled stats; unrolled CTE oracle)",
+    ),
+    "ivf_topk_trained": QueryDef(
+        lambda spark, sf_dir: _ivf_topk(spark, sf_dir, trained=True),
+        _O_IVF_TRAINED,
+        "IVF ANN over the TRAINED codebook (k-means output as LocalRelation broadcast)",
+    ),
     "ivf_train_step": QueryDef(
         _ivf_train_step,
         _O_IVF_TRAIN,

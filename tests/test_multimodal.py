@@ -293,7 +293,8 @@ def test_png_decode_palette_and_rejects():
     assert png_decode(b"not a png at all") is None
     corrupt = bytearray(full)
     corrupt[40] ^= 0xFF  # inside IDAT
-    assert png_decode(bytes(corrupt)) in (None,) or True  # must not raise
+    res = png_decode(bytes(corrupt))  # must not raise
+    assert res is None or res.shape == (6, 6, 3)
 
 
 def test_decode_meta_png_pixel_path(spark):

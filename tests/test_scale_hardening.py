@@ -363,7 +363,7 @@ def test_simhash_banded_pairs_equal_brute_force_hamming(spark):
     assert set(zip(got.id_a, got.id_b)) == want
     assert (got.hamming <= 3).all()
     # the hamming-4 seeded copy must NOT pair with its source
-    assert (1003, 1003) not in want and not ((got.id_a == 3) & (got.id_b == 1003)).any()
+    assert (3, 1003) not in want and not ((got.id_a == 3) & (got.id_b == 1003)).any()
 
 
 def test_doc_repetition_invariants(spark):
@@ -376,3 +376,35 @@ def test_doc_repetition_invariants(spark):
     assert (got.n_bigrams == (got.n_tokens - 1).clip(lower=0)).all()
     assert (got.top_bigram_n <= got.n_bigrams).all()
     assert ((got.top_bigram_n > 0) == (got.n_bigrams > 0)).all()
+
+
+def test_topk_two_phase_exact_and_partition_invariant(spark):
+    """The two-phase local-then-merge top-k (similarity._topk_two_phase)
+    must equal the naive global ranking, independent of how the scored
+    rows are partitioned — the property that makes it a safe
+    replacement for the corpus-per-query single-window rank."""
+    import random
+
+    import numpy as np
+
+    from ocr_lib_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(300)]
+    V = np.array([v for _, v in rows])
+    want = {}
+    for qid in range(4):
+        cos = (V @ V[qid]) / (np.linalg.norm(V, axis=1) * np.linalg.norm(V[qid]))
+        order = sorted((i for i in range(300) if i != qid), key=lambda i: (-cos[i], i))
+        want[qid] = order[:6]
+
+    for nparts in (3, 17):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(nparts)
+        got = brute_force_topk(df, df.where("vec_id < 4"), k=6).toPandas()
+        got = got.sort_values(["query_id", "rank"])
+        for qid in range(4):
+            g = got[got.query_id == qid]
+            assert list(g.neighbor_id) == want[qid], f"nparts={nparts} qid={qid}"
+            assert list(g["rank"]) == [1, 2, 3, 4, 5, 6]
