@@ -241,63 +241,188 @@ GROUP BY c.doc_id
 
 # --- PII scrubbing (redaction with audit counts) -----------------------------
 # The compliance step every training-data pipeline carries: redact
-# email/phone-shaped spans, count what was redacted. The fixture corpus
-# contains no PII, so a deterministic contact suffix is DERIVED in
-# closed form on BOTH engines (the unicode-twin pattern): every doc
-# gains an email, docs with doc_id % 3 == 0 also gain a 10-digit
-# phone — so the phone count actually varies and the gate pins both
-# the redaction regexes and their interaction order. Patterns are
-# RE2-safe (no lookahead) per the shared-regex policy. The scrubbed
-# text is fingerprinted (md5) so the driver hashes a scalar, not a
-# kilobyte string; redaction position and content are still pinned
-# exactly.
+# PII-shaped spans, count what was redacted per class. The fixture
+# corpus contains no PII, so a deterministic contact suffix is DERIVED
+# in closed form on BOTH engines (the unicode-twin pattern): every doc
+# gains an email; doc_id % 3 == 0 adds a 10-digit phone; % 4 == 0 an
+# IPv4; % 5 == 0 an SSN-shaped triple; % 7 == 0 TWO 16-digit
+# card-shaped numbers — one Luhn-VALID (check digit computed in closed
+# form by both engines) and one Luhn-invalid (check+1) — so the audit
+# counts pin the Luhn rule itself, not just the regexes. Redaction
+# order is pinned (email -> card -> phone -> ip -> ssn); ALL
+# card-shaped numbers are redacted (privacy-safe default) while
+# n_cards_valid counts only Luhn-valid ones; n_phones is counted after
+# card redaction so a 16-digit run is never double-audited as a phone.
+# Patterns are RE2-safe (no lookahead) per the shared-regex policy.
+# The scrubbed text is fingerprinted (md5) so the driver hashes a
+# scalar; redaction position and content are still pinned exactly.
 
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "[0-9]{10}"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_CARD_RE = "[0-9]{16}"
+
+#: Luhn digit term shared by construction (positions p=1..15 of the
+#: 15-digit base, doubled iff p odd — distance-from-right of the final
+#: 16-digit number is 16-p, odd exactly when p is odd) and validation
+#: (i = distance from right, digit at substring(c, 16-i), doubled iff
+#: i odd). Spark HOF syntax; the DuckDB twin mirrors it 1:1 below.
+
+
+def _spark_luhn_digit(sub: str) -> str:
+    d = f"cast({sub} AS INT)"
+    return f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
 
 
 def _pii_scrub(spark, sf_dir):
     phone = F.lpad(
         ((F.col("doc_id") * 2654435761) % 10000000000).cast("string"), 10, "0"
     )
+    ip = F.concat_ws(
+        ".",
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+        ((F.col("doc_id") * 5 + 7) % 256).cast("string"),
+        ((F.col("doc_id") * 11 + 13) % 256).cast("string"),
+        ((F.col("doc_id") * 17 + 19) % 256).cast("string"),
+    )
+    ssn9 = F.lpad(((F.col("doc_id") * 2246822519) % 1000000000).cast("string"), 9, "0")
+    ssn = F.concat_ws(
+        "-", F.substring(ssn9, 1, 3), F.substring(ssn9, 4, 2), F.substring(ssn9, 6, 4)
+    )
+    d = _docs(spark, sf_dir).withColumn(
+        "card_base",
+        F.lpad(
+            ((F.col("doc_id") * 1099511628211) % 1000000000000000).cast("string"),
+            15,
+            "0",
+        ),
+    )
+    cd = "cast(substring(card_base, p, 1) AS INT)"
+    csum = (
+        "aggregate(sequence(1, 15), 0, (acc, p) -> acc + "
+        f"(CASE WHEN p % 2 = 1 THEN {_spark_luhn_digit('substring(card_base, p, 1)')} "
+        f"ELSE {cd} END))"
+    )
+    d = d.withColumn("card_check", F.expr(f"(10 - ({csum}) % 10) % 10"))
+    valid_card = F.concat(F.col("card_base"), F.col("card_check").cast("string"))
+    invalid_card = F.concat(
+        F.col("card_base"), ((F.col("card_check") + 1) % 10).cast("string")
+    )
     contact = F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com"),
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" tel "), phone)).otherwise(
-            F.lit("")
-        ),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" tel "), phone)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(" ip "), ip)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" ssn "), ssn)).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" card "), valid_card, F.lit(" card "), invalid_card),
+        ).otherwise(F.lit("")),
     )
-    d = _docs(spark, sf_dir).withColumn("contact", contact)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("contact"), PII_EMAIL_RE, "<EMAIL>"),
-        PII_PHONE_RE,
-        "<PHONE>",
+    d = d.withColumn("contact", contact)
+    scrubbed = F.col("contact")
+    for pat, rep in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_CARD_RE, "<CARD>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IP_RE, "<IP>"),
+        (PII_SSN_RE, "<SSN>"),
+    ):
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    vd = "cast(substring(c, 16 - i, 1) AS INT)"
+    luhn_valid = (
+        f"aggregate(sequence(0, 15), 0, (acc, i) -> acc + "
+        f"(CASE WHEN i % 2 = 1 THEN {_spark_luhn_digit('substring(c, 16 - i, 1)')} "
+        f"ELSE {vd} END)) % 10 = 0"
     )
     return d.select(
         "doc_id",
         F.md5(scrubbed).alias("fp_scrubbed"),
         F.regexp_count("contact", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count("contact", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(
+            F.regexp_replace("contact", PII_CARD_RE, "<CARD>"), F.lit(PII_PHONE_RE)
+        ).cast("long").alias("n_phones"),
+        F.regexp_count("contact", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count("contact", F.lit(PII_SSN_RE)).cast("long").alias("n_ssns"),
+        F.expr(f"size(regexp_extract_all(contact, '{PII_CARD_RE}', 0))")
+        .cast("long")
+        .alias("n_cards_shaped"),
+        F.expr(
+            f"size(filter(regexp_extract_all(contact, '{PII_CARD_RE}', 0), c -> {luhn_valid}))"
+        )
+        .cast("long")
+        .alias("n_cards_valid"),
     )
 
 
-_O_PII_SCRUB = f"""
-WITH c AS (
+def _pii_oracle() -> str:
+    dd_cd = "substr(card_base, p::INT, 1)::INT"
+    dd_csum = (
+        "list_sum(list_transform(range(1, 16), p -> "
+        f"CASE WHEN p % 2 = 1 THEN (CASE WHEN 2 * {dd_cd} > 9 THEN 2 * {dd_cd} - 9 "
+        f"ELSE 2 * {dd_cd} END) ELSE {dd_cd} END))"
+    )
+    dd_vd = "substr(x, (16 - i)::INT, 1)::INT"
+    dd_luhn = (
+        "(list_sum(list_transform(range(16), i -> "
+        f"CASE WHEN i % 2 = 1 THEN (CASE WHEN 2 * {dd_vd} > 9 THEN 2 * {dd_vd} - 9 "
+        f"ELSE 2 * {dd_vd} END) ELSE {dd_vd} END)) % 10) = 0"
+    )
+    scrub = "contact"
+    for pat, rep in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_CARD_RE, "<CARD>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IP_RE, "<IP>"),
+        (PII_SSN_RE, "<SSN>"),
+    ):
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+         lpad(((doc_id * 1099511628211) % 1000000000000000)::VARCHAR, 15, '0') AS card_base,
+         lpad(((doc_id * 2246822519) % 1000000000)::VARCHAR, 9, '0') AS ssn9
+  FROM documents),
+k AS (
+  SELECT *, ((10 - ({dd_csum}) % 10) % 10)::INT AS card_check FROM b),
+cc AS (
   SELECT doc_id,
          text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
          CASE WHEN doc_id % 3 = 0
               THEN ' tel ' || lpad(((doc_id * 2654435761) % 10000000000)::VARCHAR, 10, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' ip ' || ((doc_id * 3) % 256)::VARCHAR || '.' ||
+                   ((doc_id * 5 + 7) % 256)::VARCHAR || '.' ||
+                   ((doc_id * 11 + 13) % 256)::VARCHAR || '.' ||
+                   ((doc_id * 17 + 19) % 256)::VARCHAR
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' ssn ' || substr(ssn9, 1, 3) || '-' || substr(ssn9, 4, 2) || '-' || substr(ssn9, 6, 4)
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' card ' || card_base || card_check::VARCHAR ||
+                   ' card ' || card_base || ((card_check + 1) % 10)::VARCHAR
               ELSE '' END AS contact
-  FROM documents)
+  FROM k)
 SELECT doc_id,
-       md5(regexp_replace(regexp_replace(contact, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS fp_scrubbed,
+       md5({scrub}) AS fp_scrubbed,
        len(regexp_extract_all(contact, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
-       len(regexp_extract_all(contact, '{PII_PHONE_RE}'))::BIGINT AS n_phones
-FROM c
+       len(regexp_extract_all(regexp_replace(contact, '{PII_CARD_RE}', '<CARD>', 'g'),
+                              '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(contact, '{PII_IP_RE}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(contact, '{PII_SSN_RE}'))::BIGINT AS n_ssns,
+       len(regexp_extract_all(contact, '{PII_CARD_RE}'))::BIGINT AS n_cards_shaped,
+       len(list_filter(regexp_extract_all(contact, '{PII_CARD_RE}'),
+                       x -> {dd_luhn}))::BIGINT AS n_cards_valid
+FROM cc
 """
+
+
+_O_PII_SCRUB = _pii_oracle()
 
 
 # --- streaming exact dedup (stateful digest aggregation) ---------------------
@@ -345,6 +470,60 @@ def _q_stream_exact_dedup(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+# --- streaming near-dup (stateful banded simhash index) ----------------------
+
+def _q_stream_near_dup(spark, sf_dir):
+    """Incremental SimHash near-dup under the driver's gate: documents
+    arrive as a multi-file parquet stream, fingerprints are computed
+    per micro-batch (stateless Arrow kernel), and a stateful banded
+    index (applyInPandasWithState keyed by (band_idx, band_val) —
+    streaming/stateful.py) emits (id_a, id_b, hamming) pairs as later
+    documents collide with earlier ones. The DISTINCT over the
+    append-mode sink must equal the BATCH simhash_near_dup oracle
+    (uncapped variant: a stream cannot retroactively un-emit pairs
+    from a bucket that later exceeds a census cap; bounded-state
+    production behavior is the operator's max_bucket_members knob,
+    unit-tested separately). Same stream==batch gate pattern as
+    stream_exact_dedup."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.operators.dedup import simhash_bits
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+    from ocr_lib_spark.streaming.stateful import simhash_near_dup_stateful
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"neardup|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_neardup_src_{tag}"
+    if not _Path(src, "_SUCCESS").exists():
+        _docs(spark, sf_dir).repartition(6).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    fp = simhash_bits(sdf, n_bits=SIMHASH_BITS)
+    pairs = simhash_near_dup_stateful(
+        fp,
+        n_bits=SIMHASH_BITS,
+        bands=SIMHASH_ND_BANDS,
+        max_hamming=SIMHASH_ND_MAX_HAMMING,
+    )
+    name = f"stream_neardup_{tag}"
+    spark.catalog.dropTempView(name)
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).distinct()
 
 
 # --- n-gram Jaccard on adjacent-id pairs (bounded pair set; the exact
@@ -569,7 +748,7 @@ def _simhash_near_dup(spark, sf_dir):
     )
 
 
-def _simhash_near_dup_oracle() -> str:
+def _simhash_near_dup_oracle(cap: int | None = SIMHASH_ND_MAX_BUCKET) -> str:
     width = SIMHASH_BITS // SIMHASH_ND_BANDS
     mask = (1 << width) - 1
     bands_sql = "\nUNION ALL\n".join(
@@ -597,7 +776,7 @@ kept AS (
     SELECT doc_id, h, band_idx, band_val,
            COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
     FROM bands)
-  WHERE bsz <= {SIMHASH_ND_MAX_BUCKET})
+  WHERE bsz <= {cap if cap is not None else 2**62})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.h, b.h))::INT AS hamming
 FROM kept a JOIN kept b
@@ -1185,6 +1364,11 @@ QUERIES = {
         _simhash_near_dup,
         _simhash_near_dup_oracle(),
         "simhash near-dup pairs: banded hamming blocking + exact popcount verify",
+    ),
+    "stream_near_dup": QueryDef(
+        _q_stream_near_dup,
+        _simhash_near_dup_oracle(cap=None),
+        "INCREMENTAL near-dup: stateful banded simhash index over a document stream == batch oracle",
     ),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
     "token_packing": QueryDef(

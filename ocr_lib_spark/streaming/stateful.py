@@ -116,3 +116,117 @@ def assemble_conversations_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- incremental near-dup: stateful banded simhash index ---------------------
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+    ]
+)
+
+#: per-bucket state: the (doc_id, fingerprint) members seen so far
+BUCKET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def simhash_near_dup_stateful(
+    fp_stream: DataFrame,
+    n_bits: int = 20,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Incremental SimHash near-dup over a fingerprint STREAM — the
+    streaming frontier piece batch ``simhash_near_dup_pairs``
+    (operators/dedup.py) leaves open: as documents arrive across
+    micro-batches, each new fingerprint is checked against the prior
+    members of its ``bands`` hamming-band buckets and (id_a, id_b,
+    hamming) pairs are emitted append-only, so near-dups are flagged
+    AT INGEST, not in a nightly batch. Pigeonhole completeness is the
+    batch operator's (max_hamming < bands enforced there; bands are
+    bit-slices of the same fingerprint), state is per-bucket and keyed
+    by (band_idx, band_val) — the same shuffle key as the batch band
+    join, so skew behavior matches.
+
+    A pair colliding in several bands is emitted once per colliding
+    band (the same duplication the batch DISTINCT removes) — callers
+    dedupe at the sink (`.distinct()` on the result table). With
+    ``max_bucket_members`` set, a full bucket stops ACCUMULATING
+    members (new arrivals still compare against the retained prefix) —
+    bounded state at the cost of recall on degenerate template
+    buckets, mirroring the batch hot-bucket cap's intent; None keeps
+    exact stream==batch parity.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(f"max_hamming ({max_hamming}) must be in [0, bands)")
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits ({n_bits}) not divisible by bands ({bands})")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    from pyspark.sql import functions as F
+
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp_stream.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+        F.explode(slices).alias("s"),
+    ).select("doc_id", "simhash", F.col("s.band_idx").alias("band_idx"), F.col("s.band_val").alias("band_val"))
+
+    def index_bucket(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        ids, hashes = state.get if state.exists else ([], [])
+        ids, hashes = list(ids), list(hashes)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for pdf in pdfs:
+            # deterministic in-batch order; the emitted SET is order-
+            # independent anyway (every pair meets exactly once per bucket)
+            for did, h in sorted(zip(pdf["doc_id"], pdf["simhash"]), key=lambda x: x[0]):
+                did, h = int(did), int(h)
+                for pid, ph in zip(ids, hashes):
+                    if pid == did:
+                        continue
+                    d = (ph ^ h).bit_count()
+                    if d <= max_hamming:
+                        a, b = (pid, did) if pid < did else (did, pid)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(d)
+                if max_bucket_members is None or len(ids) < max_bucket_members:
+                    ids.append(did)
+                    hashes.append(h)
+        state.update((ids, hashes))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return banded.groupBy("band_idx", "band_val").applyInPandasWithState(
+        index_bucket,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -289,3 +289,46 @@ def test_iceberg_snapshot_lineage_roundtrip(spark, transcripts, tmp_path):
     snap2 = snapshot_id()
     assert snap2 != snap1
     assert run_with_resume(spark.table(tbl), out, n_buckets=8, input_snapshot_id=snap2) == 8
+
+
+def test_stream_near_dup_bucket_cap_bounds_state(spark, tmp_path):
+    """max_bucket_members: a full bucket stops accumulating members but
+    new arrivals still compare against the retained prefix — bounded
+    state, deterministically reduced recall (single-file source => one
+    micro-batch, in-batch order sorted by doc_id)."""
+    import pandas as pd
+
+    from ocr_lib_spark.operators.dedup import simhash_bits
+    from ocr_lib_spark.streaming.stateful import simhash_near_dup_stateful
+
+    # four identical docs -> identical fingerprints -> one bucket per band
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["same text here"] * 4})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    def run(cap):
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+        pairs = simhash_near_dup_stateful(
+            simhash_bits(sdf, n_bits=20), n_bits=20, bands=4, max_hamming=3,
+            max_bucket_members=cap,
+        )
+        name = f"neardup_cap_{cap or 0}"
+        q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r.id_a, r.id_b) for r in spark.table(name).distinct().collect()}
+
+    assert run(None) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # cap=1: only doc 1 is retained per bucket; later docs pair with it only
+    assert run(1) == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_stream_near_dup_param_validation():
+    from ocr_lib_spark.streaming.stateful import simhash_near_dup_stateful
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_stateful(None, n_bits=20, bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        simhash_near_dup_stateful(None, n_bits=21, bands=4, max_hamming=3)
