@@ -100,52 +100,66 @@ HEADLINE = [
 ]
 
 
-def corpus_path() -> str:
+def corpus_path(replication: int) -> str:
     tag = Path(SF_DIR).name
-    return f"/tmp/ocr_bench_corpus_{tag}_x{REPLICATION}"
+    return f"/tmp/ocr_bench_corpus_{tag}_x{replication}"
 
 
-def build_corpus(spark) -> str:
+def build_corpus(spark, replication: int, n_files: int) -> str:
     """Deterministic bench corpus: the document-derived transcripts
-    replicated REPLICATION× with distinct conv ids (pure Catalyst —
-    explode a sequence; no driver-side data)."""
+    replicated ``replication``× with distinct conv ids (pure Catalyst —
+    explode a sequence; no driver-side data).
+
+    ``n_files`` MUST scale with ``replication`` (the equal-seconds
+    corpora use replication×R, files×R): the round-robin repartition
+    then lands the same ~replication/n_files copies of each turn in
+    every partition, so per-Arrow-batch payload-duplicate density — and
+    with it the kernel's memoization hit rate, i.e. the WORK PER TURN —
+    is identical across corpus sizes. (The first equal-seconds attempt
+    inflated in-plan with explode, which put the R copies ADJACENT in
+    each scan batch; the 4× memo hit rate made level-8 turns ~4×
+    cheaper and the 2→8 ratio came out super-linear at 1.29 — wrong in
+    the flattering direction. On-disk same-recipe corpora keep the
+    per-turn workload constant; the 1.29 run was discarded, not
+    reported.)"""
     from pyspark.sql import functions as F
 
     from ocr_lib_spark.sources.synth import transcripts_from_documents
 
-    path = corpus_path()
+    path = corpus_path(replication)
     if Path(path, "_SUCCESS").exists():
         return path
     tr = transcripts_from_documents(spark, SF_DIR)
     big = (
-        tr.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1))))
+        tr.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
         .withColumn("conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string")))
         .drop("rep")
     )
-    big.repartition(64).write.mode("overwrite").parquet(path)
+    big.repartition(n_files).write.mode("overwrite").parquet(path)
     return path
 
 
-def extraction_worker(cores: int, path: str, inflate: int = 1) -> None:
+def extraction_worker(cores: int, auto_path: str, salted_path: str) -> None:
     """Child process: fresh JVM at local[cores]; time the steady-state
     extraction job (python workers + codegen warmed on a 2% sample so
     the measurement is throughput, not process-spawn latency). Reports
     best-of-REPS for both the balanced-input path (no shuffle) and the
     skewed-input path (forced salted repartition).
 
-    ``inflate`` = equal-seconds-per-level sizing (round 4): the auto
-    path replicates the corpus ``inflate``× IN-PLAN (explode a
-    sequence — pure Catalyst, no extra parquet) so every level's timed
-    job runs comparable wall seconds. Without it the higher level's
-    job is levels-ratio× shorter and the ~0.6s fixed per-job cost
-    (scan planning, job scheduling, result fetch) compresses its
-    throughput ~8-11% while costing the low level ~4% — the r03
-    recorded auto efficiency of 0.697 vs a ~0.96 steady-state ratio
-    was mostly this measurement artifact (decomposition in
-    BENCH/BASELINE.md). tps stays honest: turns actually processed /
-    seconds of that same job. The salted path keeps inflate=1 — it
-    shuffles its whole input through this one JVM, and 4× the corpus
-    would measure spill behavior, not scaling (its job is long enough
+    ``auto_path`` = equal-seconds-per-level sizing (round 4): the auto
+    path of level L reads a corpus replicated (L/min_level)× ON DISK
+    with the same recipe (see build_corpus — same per-batch duplicate
+    density, same work per turn), so every level's timed job runs
+    comparable wall seconds. Without it the higher level's job is
+    levels-ratio× shorter and the ~0.6s fixed per-job cost (scan
+    planning, job scheduling, result fetch) compresses its throughput
+    ~8-11% while costing the low level ~4% — the r03 recorded auto
+    efficiency of 0.697 vs a ~0.96 steady-state ratio was mostly this
+    measurement artifact (decomposition in BENCH/BASELINE.md). tps
+    stays honest: turns actually processed / seconds of that same job.
+    The salted path keeps the BASE corpus at every level — it shuffles
+    its whole input through this one JVM, and 4× the corpus would
+    measure spill behavior, not scaling (its job is long enough
     already; per-path turn counts are reported)."""
     from pyspark.sql import functions as F
 
@@ -163,14 +177,8 @@ def extraction_worker(cores: int, path: str, inflate: int = 1) -> None:
         shuffle_partitions=cores,
         driver_memory="12g",
     )
-    df = spark.read.parquet(path)
-    big = df
-    if inflate > 1:
-        big = (
-            df.withColumn("r2", F.explode(F.sequence(F.lit(0), F.lit(inflate - 1))))
-            .withColumn("conv_id", F.concat_ws("~", "conv_id", F.col("r2").cast("string")))
-            .drop("r2")
-        )
+    big = spark.read.parquet(auto_path)
+    df = spark.read.parquet(salted_path)
     extract_turns(df.sample(0.02, seed=1), partitions=cores).agg(
         F.count("*")
     ).collect()  # warm-up: spawn python workers, JIT codegen, shuffle machinery
@@ -235,14 +243,24 @@ def run_headline(spark) -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--extract-worker":
-        inflate = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-        extraction_worker(int(sys.argv[2]), sys.argv[3], inflate)
+        extraction_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
 
     from ocr_lib_spark.session import get_spark
 
     spark = get_spark(app="bench-main", cores=CPUS, shuffle_partitions=CPUS)
-    path = build_corpus(spark)
+    base = min(LEVELS)
+    base_path = build_corpus(spark, REPLICATION, 64)
+    # equal-seconds corpora: replication AND file count scale together
+    # so per-batch duplicate density (=> work per turn) stays constant
+    auto_paths = {
+        cores: (
+            build_corpus(spark, REPLICATION * (cores // base), 64 * (cores // base))
+            if cores // base > 1
+            else base_path
+        )
+        for cores in LEVELS
+    }
     queries = run_headline(spark)
     spark.stop()
 
@@ -265,7 +283,6 @@ def main() -> None:
     # both levels and both paths — is fixed before the data arrives.
     jvms = int(os.environ.get("OCR_BENCH_JVMS", "3"))
     levels: dict[str, dict] = {}
-    base = min(LEVELS)
 
     def run_pair() -> None:
         """One interleaved pass over LEVELS (a fresh JVM per level),
@@ -274,15 +291,14 @@ def main() -> None:
         (contention/JIT/GC only ever slow a run down), so more samples
         only move each level TOWARD its true capability."""
         for cores in LEVELS:
-            inflate = cores // base  # equal-seconds sizing, see extraction_worker
             r = subprocess.run(
                 [
                     sys.executable,
                     os.path.abspath(__file__),
                     "--extract-worker",
                     str(cores),
-                    path,
-                    str(inflate),
+                    auto_paths[cores],
+                    base_path,
                 ],
                 capture_output=True,
                 text=True,

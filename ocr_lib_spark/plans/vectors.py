@@ -233,8 +233,9 @@ def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True, trained: bool = Fal
     )
     if trained:
         # production shape: the codebook is the k-means training output
-        # (a bounded k×dim table), shipped as a LocalRelation + broadcast
-        codebook, _ = _train_codebook(e, IVF_TRAIN_ITERS)
+        # (a bounded k×dim table, trained once per input snapshot and
+        # memoized), shipped as a LocalRelation + broadcast
+        codebook = _trained_codebook_cached(spark, sf_dir, IVF_TRAIN_ITERS)
         cent_plain = _codebook_values_df(spark, codebook)
     else:
         # seed-rule codebook (untrained stand-in; kept as the cheap twin)
@@ -472,11 +473,34 @@ def _train_codebook(e, iters: int):
     return _rebuild_codebook(stats.collect()), stats
 
 
+#: trained-codebook memo, keyed by (content-addressed input snapshot,
+#: iters) — train once, search many (the production relationship
+#: between ivf_train_loop and ivf_topk_trained). Bounded: one k×dim
+#: float list per distinct input snapshot per session.
+_CODEBOOK_MEMO: dict = {}
+
+
+def _trained_codebook_cached(spark, sf_dir, iters: int):
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    key = (parquet_snapshot_id(f"{sf_dir}"), iters)
+    if key not in _CODEBOOK_MEMO:
+        e = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        _CODEBOOK_MEMO[key] = _train_codebook(e, iters)[0]
+    return _CODEBOOK_MEMO[key]
+
+
 def _ivf_train_loop(spark, sf_dir):
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, stats = _train_codebook(e, IVF_TRAIN_ITERS)
+    codebook, stats = _train_codebook(e, IVF_TRAIN_ITERS)
+    # seed the train-once/search-many memo (ivf_topk_trained consumes it)
+    _CODEBOOK_MEMO[(parquet_snapshot_id(sf_dir), IVF_TRAIN_ITERS)] = codebook
     return stats
 
 
