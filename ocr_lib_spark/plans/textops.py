@@ -472,6 +472,166 @@ def _q_stream_exact_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+# --- segment-level exact dedup (CCNet/RefinedWeb paragraph-hash analog) ------
+# Corpus dedup below document granularity: split each doc into
+# non-overlapping SEG_K-word segments, hash each, and flag every
+# instance that is not the FIRST occurrence of its hash in
+# (doc_id, seg_idx) order. The set-semantics dedupe the reference gets
+# from conj-on-set (core.clj:341) applied at segment granularity.
+# Scale shape: one shuffle on the segment hash; the keeper per hash is
+# a groupBy MIN(struct) — map-side combinable, never a window over the
+# hash key (degenerate template segments are exactly the hot case).
+
+SEG_K = 8
+
+
+def _segment_dedup(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+    seg = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SEG_K} THEN "
+                f"transform(sequence(0, size(toks) div {SEG_K} - 1), "
+                f"i -> concat_ws(' ', slice(toks, i * {SEG_K} + 1, {SEG_K}))) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.col("seg_idx").cast("int").alias("seg_idx"), F.md5("seg").alias("h"))
+    keeper = seg.groupBy("h").agg(F.min(F.struct("doc_id", "seg_idx")).alias("k"))
+    flags = seg.join(keeper, "h").select(
+        "doc_id",
+        (
+            (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("seg_idx") != F.col("k.seg_idx"))
+        )
+        .cast("long")
+        .alias("is_dup"),
+    )
+    per = flags.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"), F.sum("is_dup").alias("n_dup_segments")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_dup_segments", F.lit(0)).cast("long").alias("n_dup_segments"),
+        )
+    )
+
+
+_O_SEGMENT_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, unnest(range(len(toks) // {SEG_K}))::INT AS seg_idx, toks
+  FROM t WHERE len(toks) >= {SEG_K}),
+sh AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(toks, seg_idx * {SEG_K} + 1, seg_idx * {SEG_K} + {SEG_K}), ' ')) AS h
+  FROM seg),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM sh),
+per AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_segments,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments
+  FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(per.n_dup_segments, 0)::BIGINT AS n_dup_segments
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# --- Gopher-style rule-bit quality filter ------------------------------------
+# The accept/reject gate a pretraining pipeline runs BEFORE expensive
+# stages (the reference's own work-pruning size gates: components
+# outside [min-dots, 2*max-dots] skipped, core_helper.clj:1159-1166).
+# Every rule bit is INTEGER cross-multiplication (5*n_alpha >= 4*n_words
+# instead of ratio > 0.8), so the gate is exactly reproducible across
+# engines with no float thresholds. Top-word frequency is the one
+# shuffled statistic (explode + per-(doc, word) count, map-side
+# combinable — same shape as doc_repetition).
+
+GQ_MIN_WORDS, GQ_MAX_WORDS = 50, 100_000
+
+
+def _gopher_quality_bits(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.split(F.trim("text"), " ").alias("t"))
+    base = t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").alias("total_chars"),
+        F.expr("size(filter(t, x -> x rlike '^[A-Za-z]+$'))").cast("long").alias("n_alpha_words"),
+    )
+    top = (
+        t.select("doc_id", F.explode("t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_word_n"))
+    )
+    j = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "total_chars",
+        "n_alpha_words",
+        F.coalesce("top_word_n", F.lit(0)).cast("long").alias("top_word_n"),
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "total_chars",
+        "n_alpha_words",
+        "top_word_n",
+        F.col("n_words").between(GQ_MIN_WORDS, GQ_MAX_WORDS).alias("pass_word_count"),
+        (
+            (3 * F.col("n_words") <= F.col("total_chars"))
+            & (F.col("total_chars") <= 10 * F.col("n_words"))
+        ).alias("pass_mean_word_len"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_words")).alias("pass_alpha"),
+        (5 * F.col("top_word_n") <= F.col("n_words")).alias("pass_repetition"),
+        (
+            F.col("n_words").between(GQ_MIN_WORDS, GQ_MAX_WORDS)
+            & (3 * F.col("n_words") <= F.col("total_chars"))
+            & (F.col("total_chars") <= 10 * F.col("n_words"))
+            & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+            & (5 * F.col("top_word_n") <= F.col("n_words"))
+        ).alias("pass_all"),
+    )
+
+
+_O_GOPHER = f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_words,
+         COALESCE(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS total_chars,
+         len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))::BIGINT AS n_alpha_words
+  FROM t),
+top AS (
+  SELECT doc_id, MAX(c)::BIGINT AS top_word_n FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(t) AS w FROM t) WHERE w <> '' GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT b.doc_id, n_words, total_chars, n_alpha_words,
+       COALESCE(top_word_n, 0)::BIGINT AS top_word_n,
+       (n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}) AS pass_word_count,
+       (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS pass_mean_word_len,
+       (5 * n_alpha_words >= 4 * n_words) AS pass_alpha,
+       (5 * COALESCE(top_word_n, 0) <= n_words) AS pass_repetition,
+       ((n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS})
+        AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (5 * COALESCE(top_word_n, 0) <= n_words)) AS pass_all
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
 # --- streaming near-dup (stateful banded simhash index) ----------------------
 
 def _q_stream_near_dup(spark, sf_dir):
@@ -1369,6 +1529,16 @@ QUERIES = {
         _q_stream_near_dup,
         _simhash_near_dup_oracle(cap=None),
         "INCREMENTAL near-dup: stateful banded simhash index over a document stream == batch oracle",
+    ),
+    "segment_dedup": QueryDef(
+        _segment_dedup,
+        _O_SEGMENT_DEDUP,
+        "segment-level exact dedup (non-overlapping 8-word windows; first-occurrence keeps, groupBy MIN(struct) keeper)",
+    ),
+    "gopher_quality_bits": QueryDef(
+        _gopher_quality_bits,
+        _O_GOPHER,
+        "Gopher-style rule-bit quality gate (integer cross-multiplication thresholds, no float drift)",
     ),
     "simhash": QueryDef(_simhash, _simhash_oracle(), "SimHash fingerprint (bit-majority vote)"),
     "token_packing": QueryDef(
