@@ -97,7 +97,8 @@ HEADLINE = [
     "pii_scrub",  # added round 3 (email/phone redaction + audit counts)
     "ivf_train_loop",  # added round 4 (3-iteration k-means, codebook collect between rounds)
     "ivf_topk_trained",  # added round 4 (IVF search over the trained codebook)
-    "stream_near_dup",  # added round 4 (stateful banded simhash index, incremental pairs)
+    # (stream_* queries are gated for correctness but not in the timed
+    # battery, matching stream_extract_text/conv_assembly/exact_dedup)
     "segment_dedup",  # added round 4 (sub-document exact dedup, first-occurrence keeps)
     "gopher_quality_bits",  # added round 4 (integer rule-bit quality gate)
 ]
