@@ -485,8 +485,11 @@ def _q_stream_exact_dedup(spark, sf_dir):
 SEG_K = 8
 
 
-def _segment_dedup(spark, sf_dir):
-    t = _docs(spark, sf_dir).select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+def segment_dedup_frame(docs):
+    """(doc_id, text) frame -> per-doc segment-dedup counts; see
+    _segment_dedup. Split out so degenerate inputs (null/empty/short
+    text) are unit-testable against the DuckDB twin off-fixture."""
+    t = docs.select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
     seg = t.select(
         "doc_id",
         F.posexplode(
@@ -512,8 +515,7 @@ def _segment_dedup(spark, sf_dir):
         F.count("*").alias("n_segments"), F.sum("is_dup").alias("n_dup_segments")
     )
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id")
+        docs.select("doc_id")
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
@@ -521,6 +523,10 @@ def _segment_dedup(spark, sf_dir):
             F.coalesce("n_dup_segments", F.lit(0)).cast("long").alias("n_dup_segments"),
         )
     )
+
+
+def _segment_dedup(spark, sf_dir):
+    return segment_dedup_frame(_docs(spark, sf_dir))
 
 
 _O_SEGMENT_DEDUP = f"""
@@ -559,8 +565,15 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 GQ_MIN_WORDS, GQ_MAX_WORDS = 50, 100_000
 
 
-def _gopher_quality_bits(spark, sf_dir):
-    t = _docs(spark, sf_dir).select("doc_id", F.split(F.trim("text"), " ").alias("t"))
+def gopher_bits_frame(docs):
+    """(doc_id, text) frame -> rule-bit quality gate; see
+    _gopher_quality_bits. Split out for off-fixture degenerate-input
+    twin tests."""
+    # null text ≡ '' (the engine's pinned null-text contract) so the
+    # rule bits are total — a null payload must be REJECTED, not null
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), " ").alias("t")
+    )
     base = t.select(
         "doc_id",
         F.size("t").cast("long").alias("n_words"),
@@ -605,8 +618,12 @@ def _gopher_quality_bits(spark, sf_dir):
     )
 
 
+def _gopher_quality_bits(spark, sf_dir):
+    return gopher_bits_frame(_docs(spark, sf_dir))
+
+
 _O_GOPHER = f"""
-WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+WITH t AS (SELECT doc_id, string_split(trim(COALESCE(text, '')), ' ') AS t FROM documents),
 base AS (
   SELECT doc_id,
          len(t)::BIGINT AS n_words,

@@ -408,3 +408,63 @@ def test_topk_two_phase_exact_and_partition_invariant(spark):
             g = got[got.query_id == qid]
             assert list(g.neighbor_id) == want[qid], f"nparts={nparts} qid={qid}"
             assert list(g["rank"]) == [1, 2, 3, 4, 5, 6]
+
+
+DEGENERATE_TEXT_DOCS = [
+    (1, None),
+    (2, ""),
+    (3, "   "),
+    (4, "one two three"),  # < SEG_K words, > 0
+    (5, ("tok " * 60).strip()),  # one word repeated: fails pass_repetition
+    # 64 distinct 6-char alphabetic words -> passes every gopher rule
+    (6, " ".join("word" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(64))),
+    (7, " ".join("word" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(64))),  # dup of 6
+]
+
+
+def _duck_docs_con():
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(DEGENERATE_TEXT_DOCS, columns=["doc_id", "text"]),
+    )
+    return con
+
+
+def test_segment_dedup_degenerate_twin(spark):
+    """Null/empty/short/duplicate docs: Spark and the DuckDB oracle
+    agree OFF-fixture (the gate only ever sees fixture shapes)."""
+    from ocr_lib_spark.plans.textops import _O_SEGMENT_DEDUP, segment_dedup_frame
+
+    df = spark.createDataFrame(DEGENERATE_TEXT_DOCS, "doc_id long, text string")
+    got = segment_dedup_frame(df).orderBy("doc_id").toPandas()
+    want = (
+        _duck_docs_con().execute(_O_SEGMENT_DEDUP).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    by = {r.doc_id: r for r in got.itertuples()}
+    assert by[4].n_segments == 0  # short doc: no full segment
+    assert by[5].n_dup_segments == by[5].n_segments - 1  # self-repetition
+    assert by[7].n_dup_segments == by[7].n_segments  # exact dup of doc 6
+
+
+def test_gopher_bits_degenerate_twin(spark):
+    from ocr_lib_spark.plans.textops import _O_GOPHER, gopher_bits_frame
+
+    df = spark.createDataFrame(DEGENERATE_TEXT_DOCS, "doc_id long, text string")
+    got = gopher_bits_frame(df).orderBy("doc_id").toPandas()
+    want = (
+        _duck_docs_con().execute(_O_GOPHER).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ["n_words", "total_chars", "n_alpha_words", "top_word_n",
+                "pass_word_count", "pass_mean_word_len", "pass_alpha",
+                "pass_repetition", "pass_all"]:
+        assert [None if v != v else v for v in got[col]] == [
+            None if v != v else v for v in want[col]
+        ], col
+    by = {r.doc_id: r for r in got.itertuples()}
+    assert not by[5].pass_repetition  # one word repeated 60x
+    assert by[6].pass_all and by[7].pass_all  # 64 distinct alpha-ish words
