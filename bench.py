@@ -186,6 +186,12 @@ def extraction_worker(cores: int, auto_path: str, salted_path: str) -> None:
     extract_turns(df.sample(0.02, seed=1), partitions=cores).agg(
         F.count("*")
     ).collect()  # warm-up: spawn python workers, JIT codegen, shuffle machinery
+    # warm the auto corpus' page cache too (reads the data pages, not
+    # just footers): the higher level's corpus is levels-ratio× larger,
+    # so without this its first timed rep pays proportionally more cold
+    # disk I/O — a cache asymmetry, not a scaling property. The timed
+    # region measures steady-state extraction throughput.
+    big.agg(F.sum(F.length("text"))).collect()
 
     def timed(src, repartition) -> tuple[int, float]:
         best, n = None, 0
@@ -280,12 +286,12 @@ def main() -> None:
     # resampling ("run extra pairs only while the ratio is < 0.90") was
     # an optional-stopping rule on the headline metric — one-sided
     # selection even with the pair count disclosed. Now every run
-    # executes exactly OCR_BENCH_JVMS interleaved pairs (default 3,
-    # ≈ the r03 effective sample size), records EVERY per-pair sample
+    # executes exactly OCR_BENCH_JVMS interleaved pairs (default 4,
+    # the r03 effective sample size), records EVERY per-pair sample
     # (extraction.levels[L].samples_tps*), and the estimator —
     # best-observed steady-state per level, applied symmetrically to
     # both levels and both paths — is fixed before the data arrives.
-    jvms = int(os.environ.get("OCR_BENCH_JVMS", "3"))
+    jvms = int(os.environ.get("OCR_BENCH_JVMS", "4"))
     levels: dict[str, dict] = {}
 
     def run_pair() -> None:
