@@ -101,6 +101,7 @@ HEADLINE = [
     # battery, matching stream_extract_text/conv_assembly/exact_dedup)
     "segment_dedup",  # added round 4 (sub-document exact dedup, first-occurrence keeps)
     "gopher_quality_bits",  # added round 4 (integer rule-bit quality gate)
+    "conv_near_dup",  # added round 4 (extract -> assemble -> conversation-level simhash pairs)
 ]
 
 

@@ -264,6 +264,72 @@ FROM conv GROUP BY md5(conv_text)
 """
 
 
+def _q_conv_near_dup(spark, sf_dir):
+    """Conversation-level NEAR-dup: extract -> assemble -> simhash the
+    assembled conv_text -> banded-hamming candidate pairs + exact
+    popcount verify. The composed shape a transcript corpus actually
+    dedupes at (whole conversations, not documents): exact dedup
+    (conv_dedup) catches verbatim re-logs, this catches
+    edited/re-serialized ones. Same scale notes as
+    simhash_near_dup_pairs (band equi-join, hot-bucket cap); conv ids
+    are strings, ordered lexicographically on both engines."""
+    from ocr_lib_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+    from ocr_lib_spark.plans.textops import (
+        SIMHASH_BITS,
+        SIMHASH_ND_BANDS,
+        SIMHASH_ND_MAX_BUCKET,
+        SIMHASH_ND_MAX_HAMMING,
+    )
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = assemble_conversations(extract_turns(tr))
+    # normalize the turn-separator newlines to spaces BEFORE hashing:
+    # the shared simhash tokenization contract is single-space-split
+    # (documents are newline-free; assembled conversations are not)
+    fp = simhash_bits(
+        conv.select(
+            F.col("conv_id").alias("doc_id"),
+            F.translate("conv_text", "\n", " ").alias("text"),
+        ),
+        n_bits=SIMHASH_BITS,
+    )
+    return simhash_near_dup_pairs(
+        fp,
+        n_bits=SIMHASH_BITS,
+        bands=SIMHASH_ND_BANDS,
+        max_hamming=SIMHASH_ND_MAX_HAMMING,
+        max_bucket_size=SIMHASH_ND_MAX_BUCKET,
+    )
+
+
+def _conv_near_dup_oracle() -> str:
+    """Reuse the verified simhash-pair CTE chain, re-pointed at the
+    verified assembled-conversation CTE (conv_id/conv_text stand in
+    for doc_id/text)."""
+    from ocr_lib_spark.plans.textops import _simhash_near_dup_oracle
+
+    sim = _simhash_near_dup_oracle()
+    assert sim.lstrip().startswith("WITH toks AS"), "fragment drift"
+    sim = sim.replace("FROM documents", "FROM conv_docs", 1)
+    conv_prefix = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+),
+conv_docs AS (SELECT conv_id AS doc_id, replace(conv_text, chr(10), ' ') AS text FROM conv),"""
+    return conv_prefix + sim.lstrip()[len("WITH") :]
+
+
 def _q_session_window(spark, sf_dir):
     """Spark-native session windows (F.session_window) — the built-in
     twin of the lag-gap sessionization (gap_sessionize): per-user
@@ -435,6 +501,11 @@ QUERIES = {
         _q_conv_dedup,
         _ORACLE_CONV_DEDUP,
         "end-to-end: extract -> assemble -> exact conversation dedup by digest",
+    ),
+    "conv_near_dup": QueryDef(
+        _q_conv_near_dup,
+        _conv_near_dup_oracle(),
+        "end-to-end: extract -> assemble -> simhash NEAR-dup pairs over whole conversations",
     ),
     "session_window_agg": QueryDef(
         _q_session_window,
