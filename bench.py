@@ -102,6 +102,7 @@ HEADLINE = [
     "segment_dedup",  # added round 4 (sub-document exact dedup, first-occurrence keeps)
     "gopher_quality_bits",  # added round 4 (integer rule-bit quality gate)
     "conv_near_dup",  # added round 4 (extract -> assemble -> conversation-level simhash pairs)
+    "loss_mask_spans",  # added round 4 (SFT loss-mask char spans of assistant turns)
 ]
 
 

@@ -330,6 +330,67 @@ conv_docs AS (SELECT conv_id AS doc_id, replace(conv_text, chr(10), ' ') AS text
     return conv_prefix + sim.lstrip()[len("WITH") :]
 
 
+def _q_loss_mask_spans(spark, sf_dir):
+    """SFT loss-mask spans: the character ranges of ASSISTANT turns
+    inside the assembled conv_text — what a supervised-finetuning
+    pipeline masks loss to. Offsets are the running sum of
+    (len + separator) over preceding non-empty turns in stable
+    (conv_id, turn_idx) order, so `conv_text[mask_start:mask_end]` is
+    exactly the assistant turn's extracted text (pinned by test).
+    One window per conversation — the same bounded-key shape as
+    event_reindex; a 10^6-turn conversation would use the chunked
+    two-level variant assembly already implements."""
+    from pyspark.sql import Window
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ex.select(
+        "conv_id", "turn_idx", "role", F.length("extracted_text").alias("tl")
+    ).withColumn(
+        "mask_start",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("tl") > 0, F.col("tl") + 1).otherwise(F.lit(0))
+            ).over(w),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return t.where((F.col("role") == "assistant") & (F.col("tl") > 0)).select(
+        "conv_id",
+        "turn_idx",
+        "mask_start",
+        (F.col("mask_start") + F.col("tl")).cast("int").alias("mask_end"),
+    )
+
+
+_ORACLE_LOSS_MASK = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+t AS (
+  SELECT conv_id, turn_idx, role, length(extracted_text) AS tl,
+         COALESCE(SUM(CASE WHEN length(extracted_text) > 0
+                           THEN length(extracted_text) + 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS mask_start
+  FROM per_turn)
+SELECT conv_id, turn_idx, mask_start, (mask_start + tl)::INT AS mask_end
+FROM t WHERE role = 'assistant' AND tl > 0
+"""
+
+
 def _q_session_window(spark, sf_dir):
     """Spark-native session windows (F.session_window) — the built-in
     twin of the lag-gap sessionization (gap_sessionize): per-user
@@ -506,6 +567,11 @@ QUERIES = {
         _q_conv_near_dup,
         _conv_near_dup_oracle(),
         "end-to-end: extract -> assemble -> simhash NEAR-dup pairs over whole conversations",
+    ),
+    "loss_mask_spans": QueryDef(
+        _q_loss_mask_spans,
+        _ORACLE_LOSS_MASK,
+        "SFT loss-mask char spans of assistant turns within assembled conv_text",
     ),
     "session_window_agg": QueryDef(
         _q_session_window,

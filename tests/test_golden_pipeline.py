@@ -178,3 +178,31 @@ def test_vectorized_kernels_equal_relational_twins(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(sh_fast, sh_ref)
+
+
+def test_loss_mask_spans_slice_conv_text_exactly(spark):
+    """conv_text[mask_start:mask_end] must be the assistant turn's
+    extracted text — the property that makes the spans usable as an
+    SFT loss mask."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.pipeline import assemble_conversations, extract_turns
+    from ocr_lib_spark.plans.extraction import _q_loss_mask_spans
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    tr = transcripts_from_documents(spark, sf)
+    ex = extract_turns(tr)
+    conv = assemble_conversations(ex).select("conv_id", "conv_text")
+    spans = _q_loss_mask_spans(spark, sf)
+    joined = (
+        spans.join(conv, "conv_id")
+        .join(ex.select("conv_id", "turn_idx", "extracted_text"), ["conv_id", "turn_idx"])
+        .select(
+            F.expr("substring(conv_text, mask_start + 1, mask_end - mask_start)").alias("sliced"),
+            "extracted_text",
+        )
+        .toPandas()
+    )
+    assert len(joined) > 0
+    assert (joined.sliced == joined.extracted_text).all()
