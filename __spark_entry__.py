@@ -34,16 +34,21 @@ def _gate_priority_order(names) -> list[str]:
     every query is externally gated within a couple of rounds even
     under a fixed cap. Falls back to registry order when no
     CORRECTNESS files are readable."""
+    import re
+
     last_gated: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if m is None:
+            continue  # oddly-named sibling files never poison the rotation
+        try:
             with open(path) as f:
-                for q in json.load(f):
-                    last_gated[q] = max(last_gated.get(q, 0), rnd)
-    except Exception:
-        return list(names)
+                rows = json.load(f)
+            for q in rows:
+                last_gated[q] = max(last_gated.get(q, 0), int(m.group(1)))
+        except Exception:
+            continue  # one malformed file must not disable the rotation
     pos = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_gated.get(n, 0), pos[n]))
 

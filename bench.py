@@ -106,9 +106,12 @@ HEADLINE = [
 ]
 
 
-def corpus_path(replication: int) -> str:
+def corpus_path(replication: int, n_files: int) -> str:
+    # n_files is part of the cache key: a corpus with the wrong file
+    # count has the wrong per-batch duplicate density (see build_corpus)
+    # and silently reusing it would skew the scaling ratio
     tag = Path(SF_DIR).name
-    return f"/tmp/ocr_bench_corpus_{tag}_x{replication}"
+    return f"/tmp/ocr_bench_corpus_{tag}_x{replication}_f{n_files}"
 
 
 def build_corpus(spark, replication: int, n_files: int) -> str:
@@ -132,7 +135,7 @@ def build_corpus(spark, replication: int, n_files: int) -> str:
 
     from ocr_lib_spark.sources.synth import transcripts_from_documents
 
-    path = corpus_path(replication)
+    path = corpus_path(replication, n_files)
     if Path(path, "_SUCCESS").exists():
         return path
     tr = transcripts_from_documents(spark, SF_DIR)

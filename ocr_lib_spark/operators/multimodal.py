@@ -168,8 +168,15 @@ def png_decode(buf: bytes):
         # the exact-length check, same as the old full-inflate semantics.
         if expect > PNG_MAX_DECODED_BYTES:
             return None
-        raw = zlib.decompressobj().decompress(b"".join(idat), expect + 1)
-        if len(raw) != expect:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expect + 1)
+        # exact-length AND properly terminated: dec.eof confirms the
+        # deflate stream reached its final block + adler trailer, so a
+        # stream truncated right after the last scanline byte is
+        # rejected exactly as the old full-inflate path rejected it
+        # (zlib.decompress raised on truncation); a stream longer than
+        # expect yields expect+1 bytes -> length check rejects it
+        if len(raw) != expect or not dec.eof:
             return None
         raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)

@@ -342,8 +342,14 @@ def _q_loss_mask_spans(spark, sf_dir):
     two-level variant assembly already implements."""
     from pyspark.sql import Window
 
+    from ocr_lib_spark.config import DEFAULT_CONFIG
+
     tr = transcripts_from_documents(spark, sf_dir)
     ex = extract_turns(tr)
+    # derived from the SAME knob assemble_conversations joins with, so
+    # spans can't silently desync from conv_text if the separator ever
+    # changes (the oracle pins the default '\n' — a 1-char separator)
+    sep_len = len(DEFAULT_CONFIG.block_separator)
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -355,7 +361,7 @@ def _q_loss_mask_spans(spark, sf_dir):
         "mask_start",
         F.coalesce(
             F.sum(
-                F.when(F.col("tl") > 0, F.col("tl") + 1).otherwise(F.lit(0))
+                F.when(F.col("tl") > 0, F.col("tl") + sep_len).otherwise(F.lit(0))
             ).over(w),
             F.lit(0),
         ).cast("int"),

@@ -263,6 +263,13 @@ PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 PII_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 PII_CARD_RE = "[0-9]{16}"
 
+#: doc ids are folded by this prime BEFORE the derivation multiplies, so
+#: every product stays < 2^63 at ANY corpus size (doc_id * 1099511628211
+#: would overflow int64 at doc_id >= 8.4e6 — Spark wraps silently while
+#: the DuckDB oracle raises; the same overflow class the round-4 cluster
+#: fixpoint rework eliminated)
+PII_ID_MOD = 1_000_003
+
 #: Luhn digit term shared by construction (positions p=1..15 of the
 #: 15-digit base, doubled iff p odd — distance-from-right of the final
 #: 16-digit number is 16-p, odd exactly when p is odd) and validation
@@ -277,7 +284,7 @@ def _spark_luhn_digit(sub: str) -> str:
 
 def _pii_scrub(spark, sf_dir):
     phone = F.lpad(
-        ((F.col("doc_id") * 2654435761) % 10000000000).cast("string"), 10, "0"
+        (((F.col("doc_id") % PII_ID_MOD) * 2654435761) % 10000000000).cast("string"), 10, "0"
     )
     ip = F.concat_ws(
         ".",
@@ -286,14 +293,14 @@ def _pii_scrub(spark, sf_dir):
         ((F.col("doc_id") * 11 + 13) % 256).cast("string"),
         ((F.col("doc_id") * 17 + 19) % 256).cast("string"),
     )
-    ssn9 = F.lpad(((F.col("doc_id") * 2246822519) % 1000000000).cast("string"), 9, "0")
+    ssn9 = F.lpad((((F.col("doc_id") % PII_ID_MOD) * 2246822519) % 1000000000).cast("string"), 9, "0")
     ssn = F.concat_ws(
         "-", F.substring(ssn9, 1, 3), F.substring(ssn9, 4, 2), F.substring(ssn9, 6, 4)
     )
     d = _docs(spark, sf_dir).withColumn(
         "card_base",
         F.lpad(
-            ((F.col("doc_id") * 1099511628211) % 1000000000000000).cast("string"),
+            (((F.col("doc_id") % PII_ID_MOD) * 1099511628211) % 1000000000000000).cast("string"),
             15,
             "0",
         ),
@@ -383,8 +390,8 @@ def _pii_oracle() -> str:
     return f"""
 WITH b AS (
   SELECT doc_id, text,
-         lpad(((doc_id * 1099511628211) % 1000000000000000)::VARCHAR, 15, '0') AS card_base,
-         lpad(((doc_id * 2246822519) % 1000000000)::VARCHAR, 9, '0') AS ssn9
+         lpad((((doc_id % {PII_ID_MOD}) * 1099511628211) % 1000000000000000)::VARCHAR, 15, '0') AS card_base,
+         lpad((((doc_id % {PII_ID_MOD}) * 2246822519) % 1000000000)::VARCHAR, 9, '0') AS ssn9
   FROM documents),
 k AS (
   SELECT *, ((10 - ({dd_csum}) % 10) % 10)::INT AS card_check FROM b),
@@ -392,7 +399,7 @@ cc AS (
   SELECT doc_id,
          text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
          CASE WHEN doc_id % 3 = 0
-              THEN ' tel ' || lpad(((doc_id * 2654435761) % 10000000000)::VARCHAR, 10, '0')
+              THEN ' tel ' || lpad((((doc_id % {PII_ID_MOD}) * 2654435761) % 10000000000)::VARCHAR, 10, '0')
               ELSE '' END ||
          CASE WHEN doc_id % 4 = 0
               THEN ' ip ' || ((doc_id * 3) % 256)::VARCHAR || '.' ||

@@ -248,8 +248,16 @@ def _ivf_topk(spark, sf_dir, vectorized_assign: bool = True, trained: bool = Fal
     cent = F.broadcast(cent_plain)
     if vectorized_assign:
         # the quantizer is a small bounded table (a trained k-means
-        # codebook at production scale) — collect once, score in Arrow
-        cent_rows = [(r["centroid_id"], list(r["cv"])) for r in cent_plain.collect()]
+        # codebook at production scale) — score in Arrow. In the
+        # trained branch the codebook list is already driver-side
+        # (repr literals round-trip IEEE-754, so re-collecting the
+        # VALUES plan would yield the identical rows — skip the job).
+        if trained:
+            cent_rows = [(cid, list(vec)) for cid, vec in codebook]
+        else:
+            cent_rows = [
+                (r["centroid_id"], list(r["cv"])) for r in cent_plain.collect()
+            ]
         assign = _assign_centroids_arrow(e, cent_rows)
     else:
         # relational twin: assignment via max_by aggregation, not a
@@ -468,9 +476,14 @@ def _train_codebook(e, iters: int):
     stats = None
     for it in range(iters):
         stats = _lloyd_stats(e, cent_rows)
-        if it < iters - 1:
-            cent_rows = _rebuild_codebook(stats.collect())
-    return _rebuild_codebook(stats.collect()), stats
+        if it == iters - 1:
+            # truncate the final iteration's lineage so the codebook
+            # collect below AND the caller's materialization of the
+            # returned frame share ONE assignment job (without this the
+            # most expensive iteration runs twice)
+            stats = stats.localCheckpoint(eager=False)
+        cent_rows = _rebuild_codebook(stats.collect())
+    return cent_rows, stats
 
 
 #: trained-codebook memo, keyed by (content-addressed input snapshot,

@@ -21,6 +21,13 @@ FAST_SUBSET = [
     "text_stats",
     "exact_dedup",
     "cosine_topk",
+    # round-4 cheap representatives: Luhn/PII closed forms, the stitched
+    # conv_near_dup oracle, loss-mask offsets, rule-bit gate, k-means CTE
+    "pii_scrub",
+    "loss_mask_spans",
+    "gopher_quality_bits",
+    "conv_near_dup",
+    "ivf_train_loop",
 ]
 
 
