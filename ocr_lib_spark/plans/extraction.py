@@ -310,6 +310,9 @@ def _conv_near_dup_oracle() -> str:
 
     sim = _simhash_near_dup_oracle()
     assert sim.lstrip().startswith("WITH toks AS"), "fragment drift"
+    # the stitch re-points the ONE source scan; a second occurrence added
+    # to the fragment later would silently mis-stitch (ADVICE r4)
+    assert sim.count("FROM documents") == 1, "fragment drift: source scan count"
     sim = sim.replace("FROM documents", "FROM conv_docs", 1)
     conv_prefix = f"""
 WITH per_turn AS (

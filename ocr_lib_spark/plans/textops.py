@@ -286,12 +286,14 @@ def _pii_scrub(spark, sf_dir):
     phone = F.lpad(
         (((F.col("doc_id") % PII_ID_MOD) * 2654435761) % 10000000000).cast("string"), 10, "0"
     )
+    # fold BEFORE multiplying, like phone/ssn/card: raw doc_id * 17
+    # would overflow int64 at doc_id >= ~5.4e17 (ADVICE r4)
     ip = F.concat_ws(
         ".",
-        ((F.col("doc_id") * 3) % 256).cast("string"),
-        ((F.col("doc_id") * 5 + 7) % 256).cast("string"),
-        ((F.col("doc_id") * 11 + 13) % 256).cast("string"),
-        ((F.col("doc_id") * 17 + 19) % 256).cast("string"),
+        (((F.col("doc_id") % PII_ID_MOD) * 3) % 256).cast("string"),
+        (((F.col("doc_id") % PII_ID_MOD) * 5 + 7) % 256).cast("string"),
+        (((F.col("doc_id") % PII_ID_MOD) * 11 + 13) % 256).cast("string"),
+        (((F.col("doc_id") % PII_ID_MOD) * 17 + 19) % 256).cast("string"),
     )
     ssn9 = F.lpad((((F.col("doc_id") % PII_ID_MOD) * 2246822519) % 1000000000).cast("string"), 9, "0")
     ssn = F.concat_ws(
@@ -402,10 +404,10 @@ cc AS (
               THEN ' tel ' || lpad((((doc_id % {PII_ID_MOD}) * 2654435761) % 10000000000)::VARCHAR, 10, '0')
               ELSE '' END ||
          CASE WHEN doc_id % 4 = 0
-              THEN ' ip ' || ((doc_id * 3) % 256)::VARCHAR || '.' ||
-                   ((doc_id * 5 + 7) % 256)::VARCHAR || '.' ||
-                   ((doc_id * 11 + 13) % 256)::VARCHAR || '.' ||
-                   ((doc_id * 17 + 19) % 256)::VARCHAR
+              THEN ' ip ' || (((doc_id % {PII_ID_MOD}) * 3) % 256)::VARCHAR || '.' ||
+                   (((doc_id % {PII_ID_MOD}) * 5 + 7) % 256)::VARCHAR || '.' ||
+                   (((doc_id % {PII_ID_MOD}) * 11 + 13) % 256)::VARCHAR || '.' ||
+                   (((doc_id % {PII_ID_MOD}) * 17 + 19) % 256)::VARCHAR
               ELSE '' END ||
          CASE WHEN doc_id % 5 = 0
               THEN ' ssn ' || substr(ssn9, 1, 3) || '-' || substr(ssn9, 4, 2) || '-' || substr(ssn9, 6, 4)

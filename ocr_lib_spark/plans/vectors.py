@@ -218,6 +218,14 @@ def _codebook_values_df(spark, cent_rows):
     why not createDataFrame: a python-list DataFrame is Scan ExistingRDD
     and re-runs a python stage per action). repr() round-trips IEEE-754,
     so the literals parse back to the identical doubles."""
+    if not cent_rows:
+        # an empty VALUES list is a SQL parse error, not an empty result
+        # (ADVICE r4); reachable via a tiny input with no seed-rule hit
+        # or every centroid losing its members across Lloyd iterations
+        raise ValueError(
+            "empty codebook: no centroids survive for this input; "
+            "IVF needs at least one centroid (check the seed rule / corpus size)"
+        )
     rows = ", ".join(
         f"({cid}L, array({', '.join(f'CAST({x!r} AS DOUBLE)' for x in vec)}))"
         for cid, vec in cent_rows

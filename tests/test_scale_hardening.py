@@ -468,3 +468,17 @@ def test_gopher_bits_degenerate_twin(spark):
     by = {r.doc_id: r for r in got.itertuples()}
     assert not by[5].pass_repetition  # one word repeated 60x
     assert by[6].pass_all and by[7].pass_all  # 64 distinct alpha-ish words
+
+
+def test_codebook_values_df_rejects_empty(spark):
+    """An empty trained codebook must raise a diagnostic, not a SQL
+    parse error from an empty VALUES list (ADVICE r4): reachable via a
+    tiny input with no seed-rule hit or all centroids losing members."""
+    import pytest as _pytest
+
+    from ocr_lib_spark.plans.vectors import _codebook_values_df
+
+    with _pytest.raises(ValueError, match="empty codebook"):
+        _codebook_values_df(spark, [])
+    got = _codebook_values_df(spark, [(1, [0.5, 0.25])]).collect()
+    assert got[0]["centroid_id"] == 1 and list(got[0]["cv"]) == [0.5, 0.25]
