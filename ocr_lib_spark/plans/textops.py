@@ -696,6 +696,9 @@ def _q_stream_near_dup(spark, sf_dir):
         n_bits=SIMHASH_BITS,
         bands=SIMHASH_ND_BANDS,
         max_hamming=SIMHASH_ND_MAX_HAMMING,
+        # gate parity requires UNCAPPED state (see docstring above);
+        # the operator's default is the bounded production cap
+        max_bucket_members=None,
     )
     name = f"stream_neardup_{tag}"
     spark.catalog.dropTempView(name)

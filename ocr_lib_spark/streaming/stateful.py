@@ -137,12 +137,33 @@ BUCKET_STATE_SCHEMA = T.StructType(
 )
 
 
+#: default per-bucket state cap: bounded state is the production
+#: posture (an unbounded template bucket would grow state forever);
+#: pass None explicitly for exact stream==batch parity (the driver
+#: gate does — a stream cannot retroactively un-emit pairs, so parity
+#: with the uncapped batch oracle requires uncapped state)
+DEFAULT_MAX_BUCKET_MEMBERS = 256
+
+#: byte-wise popcount LUT: numpy 1.26 has no bitwise_count; viewing the
+#: uint64 xor as uint8 and summing LUT hits per 8-byte row is the
+#: standard vectorized popcount
+import numpy as _np
+
+_POP8 = _np.array([bin(i).count("1") for i in range(256)], dtype=_np.uint16)
+
+
+def _hamming_vec(hashes_u64: "_np.ndarray", h: int) -> "_np.ndarray":
+    """Vectorized hamming distance of one uint64 against an array."""
+    x = hashes_u64 ^ _np.uint64(h)
+    return _POP8[x.view(_np.uint8)].reshape(len(x), 8).sum(axis=1).astype(_np.int64)
+
+
 def simhash_near_dup_stateful(
     fp_stream: DataFrame,
     n_bits: int = 20,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket_members: int | None = None,
+    max_bucket_members: int | None = DEFAULT_MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """Incremental SimHash near-dup over a fingerprint STREAM — the
     streaming frontier piece batch ``simhash_near_dup_pairs``
@@ -159,11 +180,15 @@ def simhash_near_dup_stateful(
     A pair colliding in several bands is emitted once per colliding
     band (the same duplication the batch DISTINCT removes) — callers
     dedupe at the sink (`.distinct()` on the result table). With
-    ``max_bucket_members`` set, a full bucket stops ACCUMULATING
-    members (new arrivals still compare against the retained prefix) —
-    bounded state at the cost of recall on degenerate template
-    buckets, mirroring the batch hot-bucket cap's intent; None keeps
-    exact stream==batch parity.
+    ``max_bucket_members`` set (the DEFAULT, 256 — bounded state is
+    the production posture), a full bucket stops ACCUMULATING members;
+    new arrivals still compare against the retained prefix — bounded
+    state at the cost of recall on degenerate template buckets,
+    mirroring the batch hot-bucket cap's intent. Pass ``None``
+    explicitly for exact stream==batch parity (the gate query does).
+    The in-bucket compare is vectorized (uint64 xor + LUT popcount
+    over the whole member array per arriving doc), so per-doc work is
+    O(|bucket|) numpy, not a python loop.
     """
     if not 0 <= max_hamming < bands:
         raise ValueError(f"max_hamming ({max_hamming}) must be in [0, bands)")
@@ -197,8 +222,11 @@ def simhash_near_dup_stateful(
         if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
             state.remove()
             return
+        import numpy as np
+
         ids, hashes = state.get if state.exists else ([], [])
-        ids, hashes = list(ids), list(hashes)
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        hash_arr = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         out_a: list[int] = []
         out_b: list[int] = []
         out_h: list[int] = []
@@ -207,19 +235,20 @@ def simhash_near_dup_stateful(
             # independent anyway (every pair meets exactly once per bucket)
             for did, h in sorted(zip(pdf["doc_id"], pdf["simhash"]), key=lambda x: x[0]):
                 did, h = int(did), int(h)
-                for pid, ph in zip(ids, hashes):
-                    if pid == did:
-                        continue
-                    d = (ph ^ h).bit_count()
-                    if d <= max_hamming:
+                if len(ids_arr):
+                    # one vectorized xor+popcount against ALL members
+                    d = _hamming_vec(hash_arr, np.int64(h).view(np.uint64))
+                    hit = np.flatnonzero((d <= max_hamming) & (ids_arr != did))
+                    for i in hit:
+                        pid, dist = int(ids_arr[i]), int(d[i])
                         a, b = (pid, did) if pid < did else (did, pid)
                         out_a.append(a)
                         out_b.append(b)
-                        out_h.append(d)
-                if max_bucket_members is None or len(ids) < max_bucket_members:
-                    ids.append(did)
-                    hashes.append(h)
-        state.update((ids, hashes))
+                        out_h.append(dist)
+                if max_bucket_members is None or len(ids_arr) < max_bucket_members:
+                    ids_arr = np.append(ids_arr, np.int64(did))
+                    hash_arr = np.append(hash_arr, np.int64(h).view(np.uint64))
+        state.update((ids_arr.tolist(), hash_arr.view(np.int64).tolist()))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
 

@@ -326,9 +326,17 @@ def test_stream_near_dup_bucket_cap_bounds_state(spark, tmp_path):
 
 
 def test_stream_near_dup_param_validation():
+    import inspect
+
     from ocr_lib_spark.streaming.stateful import simhash_near_dup_stateful
 
     with pytest.raises(ValueError):
         simhash_near_dup_stateful(None, n_bits=20, bands=4, max_hamming=4)
     with pytest.raises(ValueError):
         simhash_near_dup_stateful(None, n_bits=21, bands=4, max_hamming=3)
+    # production posture (round 5): the DEFAULT state per bucket is
+    # bounded; unbounded parity mode must be an explicit opt-in
+    default = inspect.signature(simhash_near_dup_stateful).parameters[
+        "max_bucket_members"
+    ].default
+    assert isinstance(default, int) and default > 0
