@@ -103,6 +103,7 @@ HEADLINE = [
     "gopher_quality_bits",  # added round 4 (integer rule-bit quality gate)
     "conv_near_dup",  # added round 4 (extract -> assemble -> conversation-level simhash pairs)
     "loss_mask_spans",  # added round 4 (SFT loss-mask char spans of assistant turns)
+    "simhash64_near_dup",  # added round 5 (production-width 64-bit simhash, sign bit live)
 ]
 
 

@@ -122,6 +122,18 @@ def _md5_prefix60(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
 
 
+def _md5_prefix64(s: str) -> int:
+    """First 64 bits of md5 as a SIGNED int64 (two's complement) — the
+    full production hash width, with bit 63 (the int64 sign bit) live.
+    DuckDB twin: 60-bit prefix + 16th-nibble recombination (a hex
+    literal >= 2^63 can't cast to BIGINT directly; see
+    ``_simhash_near_dup_oracle(n_bits=64)``)."""
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _minhash_vectorized(df, text_col, id_col, n_hashes, k) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -266,13 +278,24 @@ def simhash_bits(
     shuffles (a fingerprint needs only its own document). Bit j of the
     fingerprint is the majority vote of md5-prefix token-hash bit j —
     identical values to the relational ``simhash64`` twin and the
-    DuckDB oracle (same md5 prefix, same ±1 vote, same >0 rule)."""
+    DuckDB oracle (same md5 prefix, same ±1 vote, same >0 rule).
+
+    ``n_bits`` up to 64: at 64 the token hash is the full md5 64-bit
+    prefix and bit 63 of the fingerprint is the int64 sign bit — the
+    production width. Packing relies on int64 wrap-around (numpy's
+    element 63 of ``1 << arange`` IS INT64_MIN, and the sum of distinct
+    powers wraps to exactly the two's-complement bit pattern DuckDB's
+    explicit sign-term pack produces; pinned by the simhash64_near_dup
+    gate and test_simhash64_full_width)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     import re as _re
 
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits ({n_bits}) must be in [1, 64]")
+    hash_fn = _md5_prefix64 if n_bits > 60 else _md5_prefix60
     ws = _re.compile(r"\s+")
     powers = (1 << np.arange(n_bits, dtype=np.int64))
 
@@ -304,7 +327,7 @@ def simhash_bits(
                 doc_rows.append((ri, ids))
             xs = np.empty(len(uid), dtype=np.int64)
             for s, i in uid.items():
-                xs[i] = _md5_prefix60(s)
+                xs[i] = hash_fn(s)
             bits_u = (2 * ((xs[:, None] >> np.arange(n_bits)) & 1) - 1).astype(np.int64)
             for ri, ids in doc_rows:
                 votes = bits_u[ids].sum(axis=0)

@@ -937,27 +937,84 @@ def _simhash_near_dup(spark, sf_dir):
     )
 
 
-def _simhash_near_dup_oracle(cap: int | None = SIMHASH_ND_MAX_BUCKET) -> str:
-    width = SIMHASH_BITS // SIMHASH_ND_BANDS
+def _pack_bit_sql(j: int) -> str:
+    """SQL term setting fingerprint bit j from the vote sign. Bit 63 is
+    the int64 sign bit: 2^63 has no BIGINT literal, so its term adds
+    INT64_MIN spelled overflow-free — the two's-complement pattern the
+    Arrow kernel's int64 wrap-around packing produces identically."""
+    if j == 63:
+        return "(CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)"
+
+
+def _token_hash_sql(n_bits: int) -> str:
+    """Token-hash expression: 60-bit md5 hex prefix for n_bits <= 60;
+    at 64 bits, a 16-hex-char literal >= 2^63 can't cast to BIGINT, so
+    the full 64-bit prefix is recombined overflow-free as
+    ``low60 << 4 | nibble16`` (hex is big-endian: chars 1-15 are the
+    HIGH 60 bits, char 16 the low nibble; bit 59 of low60 becomes the
+    sign bit, added as INT64_MIN). Equals
+    operators/dedup._md5_prefix64's two's-complement int64."""
+    if n_bits <= 60:
+        return "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    low60 = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    rest_mask = (1 << 59) - 1
+    return (
+        f"(CASE WHEN {low60} >> 59 = 1 THEN (-9223372036854775807 - 1) ELSE 0 END) "
+        f"+ (({low60} & {rest_mask}) << 4) "
+        "+ ('0x' || substr(md5(tok), 16, 1))::BIGINT"
+    )
+
+
+SIMHASH64_BITS = 64  # production width (COVERAGE.md knob): 4 x 16-bit bands
+
+
+def _q_simhash64_near_dup(spark, sf_dir):
+    """Production-WIDTH near-dup: 64-bit simhash with 4x16-bit hamming
+    bands — the documented production knob, externally gated. Exercises
+    the bit-width-dependent paths the 20-bit fixture can't reach: the
+    token hash is the full 64-bit md5 prefix (sign bit live), the
+    fingerprint packs via int64 wrap-around, band 3's mask straddles
+    the sign bit (shiftright sign-fill masked off), and the exact
+    verify is bit_count(xor) over the FULL int64. Same plan shape as
+    simhash_near_dup (band equi-join + hot-bucket cap)."""
+    from ocr_lib_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+
+    fp = simhash_bits(_docs(spark, sf_dir), n_bits=SIMHASH64_BITS)
+    return simhash_near_dup_pairs(
+        fp,
+        n_bits=SIMHASH64_BITS,
+        bands=SIMHASH_ND_BANDS,
+        max_hamming=SIMHASH_ND_MAX_HAMMING,
+        max_bucket_size=SIMHASH_ND_MAX_BUCKET,
+    )
+
+
+def _simhash_near_dup_oracle(
+    cap: int | None = SIMHASH_ND_MAX_BUCKET,
+    n_bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_ND_BANDS,
+) -> str:
+    width = n_bits // bands
     mask = (1 << width) - 1
     bands_sql = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash_low AS h, {b} AS band_idx, "
         f"(simhash_low >> {b * width}) & {mask} AS band_val FROM fp"
-        for b in range(SIMHASH_ND_BANDS)
+        for b in range(bands)
     )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
 h AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+  SELECT doc_id, {_token_hash_sql(n_bits)} AS th
   FROM toks WHERE tok <> ''),
 v AS (
   SELECT doc_id,
-         {",".join(f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(SIMHASH_BITS))}
+         {",".join(f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(n_bits))}
   FROM h GROUP BY doc_id),
 fp AS (
   SELECT doc_id,
-         ({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS))}) AS simhash_low
+         ({" + ".join(_pack_bit_sql(j) for j in range(n_bits))}) AS simhash_low
   FROM v),
 bands AS ({bands_sql}),
 kept AS (
@@ -1558,6 +1615,11 @@ QUERIES = {
         _q_stream_near_dup,
         _simhash_near_dup_oracle(cap=None),
         "INCREMENTAL near-dup: stateful banded simhash index over a document stream == batch oracle",
+    ),
+    "simhash64_near_dup": QueryDef(
+        _q_simhash64_near_dup,
+        _simhash_near_dup_oracle(n_bits=SIMHASH64_BITS),
+        "production-width 64-bit simhash near-dup (4x16-bit bands; int64 sign bit live)",
     ),
     "segment_dedup": QueryDef(
         _segment_dedup,

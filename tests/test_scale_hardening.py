@@ -482,3 +482,42 @@ def test_codebook_values_df_rejects_empty(spark):
         _codebook_values_df(spark, [])
     got = _codebook_values_df(spark, [(1, [0.5, 0.25])]).collect()
     assert got[0]["centroid_id"] == 1 and list(got[0]["cv"]) == [0.5, 0.25]
+
+
+def test_simhash64_full_width(spark):
+    """64-bit production width: the Arrow kernel's int64 wrap-around
+    packing equals DuckDB's explicit sign-term pack (gate does the
+    corpus; this pins the edge mechanics): sign bit is LIVE, banded
+    pairs at 64 bits equal brute-force hamming over full int64 —
+    including fingerprints that differ only in the sign bit."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from ocr_lib_spark.operators.dedup import _md5_prefix64, simhash_near_dup_pairs
+
+    # hash-fn twin: full 64-bit md5 prefix == DuckDB nibble recombination
+    from ocr_lib_spark.plans.textops import _token_hash_sql
+
+    con = duckdb.connect()
+    expr = _token_hash_sql(64).replace("md5(tok)", "md5(?)")
+    for tok in ("a", "xyzzy", "über", "42"):
+        dd = con.execute(
+            f"SELECT {expr}", [tok] * expr.count("?")
+        ).fetchone()[0]
+        assert dd == _md5_prefix64(tok), tok
+
+    rng = random.Random(11)
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    fps = [(i, to_signed(rng.getrandbits(64))) for i in range(150)]
+    # sign-bit-only difference: hamming 1, must pair via bands 0-2
+    fps.append((2000, fps[0][1] ^ -(2**63)))
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(fps, 2):
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 3:
+            want.add((min(ia, ib), max(ia, ib)))
+    assert (0, 2000) in want
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = simhash_near_dup_pairs(df, n_bits=64, bands=4, max_hamming=3).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == want
