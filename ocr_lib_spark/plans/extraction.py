@@ -333,26 +333,25 @@ conv_docs AS (SELECT conv_id AS doc_id, replace(conv_text, chr(10), ' ') AS text
     return conv_prefix + sim.lstrip()[len("WITH") :]
 
 
-def _q_loss_mask_spans(spark, sf_dir):
-    """SFT loss-mask spans: the character ranges of ASSISTANT turns
-    inside the assembled conv_text — what a supervised-finetuning
-    pipeline masks loss to. Offsets are the running sum of
-    (len + separator) over preceding non-empty turns in stable
-    (conv_id, turn_idx) order, so `conv_text[mask_start:mask_end]` is
-    exactly the assistant turn's extracted text (pinned by test).
-    One window per conversation — the same bounded-key shape as
-    event_reindex; a 10^6-turn conversation would use the chunked
-    two-level variant assembly already implements."""
+def loss_mask_spans(ex, cfg=None):
+    """SFT loss-mask spans over an extracted-turns frame: the character
+    ranges of ASSISTANT turns inside the assembled conv_text — what a
+    supervised-finetuning pipeline masks loss to. Offsets are the
+    running sum of (len + separator) over preceding non-empty turns in
+    stable (conv_id, turn_idx) order, so
+    `conv_text[mask_start:mask_end]` is exactly the assistant turn's
+    extracted text (pinned by test for the default AND a 2-char
+    separator). One window per conversation — the same bounded-key
+    shape as event_reindex; a 10^6-turn conversation would use the
+    chunked two-level variant assembly already implements."""
     from pyspark.sql import Window
 
     from ocr_lib_spark.config import DEFAULT_CONFIG
 
-    tr = transcripts_from_documents(spark, sf_dir)
-    ex = extract_turns(tr)
     # derived from the SAME knob assemble_conversations joins with, so
     # spans can't silently desync from conv_text if the separator ever
     # changes (the oracle pins the default '\n' — a 1-char separator)
-    sep_len = len(DEFAULT_CONFIG.block_separator)
+    sep_len = len((cfg or DEFAULT_CONFIG).block_separator)
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -375,6 +374,11 @@ def _q_loss_mask_spans(spark, sf_dir):
         "mask_start",
         (F.col("mask_start") + F.col("tl")).cast("int").alias("mask_end"),
     )
+
+
+def _q_loss_mask_spans(spark, sf_dir):
+    tr = transcripts_from_documents(spark, sf_dir)
+    return loss_mask_spans(extract_turns(tr))
 
 
 _ORACLE_LOSS_MASK = f"""

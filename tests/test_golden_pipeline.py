@@ -206,3 +206,35 @@ def test_loss_mask_spans_slice_conv_text_exactly(spark):
     )
     assert len(joined) > 0
     assert (joined.sliced == joined.extracted_text).all()
+
+
+def test_loss_mask_spans_multi_char_separator(spark):
+    """Off-default-knob twin (the other knobs have one): with a 2-char
+    block separator the spans must still slice conv_text exactly — the
+    sep_len derivation from the shared config knob is what keeps spans
+    and assembly in sync."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.config import DEFAULT_CONFIG
+    from ocr_lib_spark.pipeline import assemble_conversations, extract_turns
+    from ocr_lib_spark.plans.extraction import loss_mask_spans
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, block_separator="|\n")
+    tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    ex = extract_turns(tr)
+    conv = assemble_conversations(ex, cfg=cfg2).select("conv_id", "conv_text")
+    spans = loss_mask_spans(ex, cfg=cfg2)
+    joined = (
+        spans.join(conv, "conv_id")
+        .join(ex.select("conv_id", "turn_idx", "extracted_text"), ["conv_id", "turn_idx"])
+        .select(
+            F.expr("substring(conv_text, mask_start + 1, mask_end - mask_start)").alias("sliced"),
+            "extracted_text",
+        )
+        .toPandas()
+    )
+    assert len(joined) > 0
+    assert (joined.sliced == joined.extracted_text).all()
