@@ -106,6 +106,9 @@ HEADLINE = [
     "conv_near_dup",  # added round 4 (extract -> assemble -> conversation-level simhash pairs)
     "loss_mask_spans",  # added round 4 (SFT loss-mask char spans of assistant turns)
     "simhash64_near_dup",  # added round 5 (production-width 64-bit simhash, sign bit live)
+    "vocab_topk",  # added round 5 (two-phase corpus vocabulary rank)
+    "rare_token_ratio",  # added round 5 (integer unigram-rarity score, skew-immune join)
+    "source_mix",  # added round 5 ((source, lang) composition report)
 ]
 
 

@@ -1562,6 +1562,184 @@ WHERE h < CASE lang WHEN 'vowelic' THEN 1000 WHEN 'en-like' THEN 500
 """
 
 
+# --- corpus analysis trio: vocabulary, unigram rarity, source mix ------------
+# What a training-data pipeline runs before BPE training and mix
+# design (round 5): top-K vocabulary with doc frequencies, a
+# unigram-rarity quality score, and the (source, lang) composition
+# report. All integer-exact (cross-multiplied threshold, floor
+# division, basis points) — zero float drift across engines. The
+# set-cardinality counting is the reference's set-semantics aggregate
+# (core.clj:1039-1046) applied at corpus granularity.
+
+VOCAB_K = 20
+#: a token is "rare" iff RARE_FACTOR * vocab_size * count <
+#: total_occurrences (count < mean/RARE_FACTOR) — a RELATIVE rule, so
+#: it survives corpus growth; integer cross-multiplication, no floats
+RARE_FACTOR = 2
+
+
+def _toks_nonempty(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+_O_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> '')"""
+
+
+def _vocab_topk(spark, sf_dir):
+    """Top-K corpus vocabulary (rank, token, occurrences, doc
+    frequency). Scale shape: ONE explode feeding two chained map-side-
+    combinable shuffles (groupBy(tok, doc_id) pre-aggregate, then
+    groupBy(tok) — doc frequency is never a count-distinct window);
+    the global rank is two-phase local/merge — phase 1 ranks within
+    each scan partition and keeps K, phase 2 ranks the <= P*K
+    survivors in one bounded task. (n_occ DESC, tok ASC) is a total
+    order, so the result equals the single-window plan at any
+    partitioning (same argument as similarity._topk_two_phase)."""
+    from pyspark.sql import Window
+
+    t = _toks_nonempty(spark, sf_dir)
+    per_doc = t.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    counts = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("n_occ"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    order = (F.desc("n_occ"), F.asc("tok"))
+    local = counts.withColumn("part", F.spark_partition_id())
+    w_local = Window.partitionBy("part").orderBy(*order)
+    surv = (
+        local.withColumn("lr", F.row_number().over(w_local))
+        .where(F.col("lr") <= VOCAB_K)
+        .drop("lr", "part")
+    )
+    w_merge = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        surv.withColumn("rank", F.row_number().over(w_merge))
+        .where(F.col("rank") <= VOCAB_K)
+        .select(F.col("rank").cast("int").alias("rank"), "tok", "n_occ", "n_docs")
+    )
+
+
+_O_VOCAB_TOPK = f"""
+WITH {_O_TOKS_CTE},
+pd AS (SELECT tok, doc_id, COUNT(*) AS c FROM tk GROUP BY tok, doc_id),
+c AS (SELECT tok, SUM(c)::BIGINT AS n_occ, COUNT(*)::BIGINT AS n_docs FROM pd GROUP BY tok)
+SELECT rank, tok, n_occ, n_docs FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok)::INT AS rank, tok, n_occ, n_docs
+  FROM c)
+WHERE rank <= {VOCAB_K}
+"""
+
+
+def _rare_token_ratio(spark, sf_dir):
+    """Unigram-rarity quality score per doc: the share of token
+    occurrences whose GLOBAL corpus count is below mean/RARE_FACTOR —
+    the integer-only proxy for a unigram-LM perplexity filter (no
+    log(), no floats, exact across engines). Scale shape: token counts
+    are one combinable shuffle; the rare set is joined back on the
+    token key, and by construction every join key in it has fewer than
+    mean/RARE_FACTOR occurrences — the hot keys that make token joins
+    skew are excluded as non-rare, so the join is skew-immune without
+    salting. Tokenless docs are absent (same derivation both engines).
+    rare_bp = basis points via floor division."""
+    t = _toks_nonempty(spark, sf_dir)
+    occ = t.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    tot = occ.agg(
+        F.sum("n_occ").alias("total_occ"), F.count("*").alias("vocab_n")
+    )
+    rare = (
+        occ.crossJoin(F.broadcast(tot))
+        .where(F.lit(RARE_FACTOR) * F.col("vocab_n") * F.col("n_occ") < F.col("total_occ"))
+        .select("tok")
+    )
+    n_tok = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    n_rare = t.join(rare, "tok").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_rare")
+    )
+    return (
+        n_tok.join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.expr("div(10000 * coalesce(n_rare, 0), n_tokens)")
+            .cast("long")
+            .alias("rare_bp"),
+        )
+    )
+
+
+_O_RARE_RATIO = f"""
+WITH {_O_TOKS_CTE},
+occ AS (SELECT tok, COUNT(*) AS n_occ FROM tk GROUP BY tok),
+tot AS (SELECT SUM(n_occ) AS total_occ, COUNT(*) AS vocab_n FROM occ),
+rare AS (SELECT tok FROM occ, tot WHERE {RARE_FACTOR} * vocab_n * n_occ < total_occ),
+nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM tk GROUP BY doc_id),
+nr AS (SELECT doc_id, COUNT(*)::BIGINT AS n_rare FROM tk JOIN rare USING (tok) GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens, COALESCE(nr.n_rare, 0)::BIGINT AS n_rare,
+       ((10000 * COALESCE(nr.n_rare, 0)) // nt.n_tokens)::BIGINT AS rare_bp
+FROM nt LEFT JOIN nr ON nt.doc_id = nr.doc_id
+"""
+
+
+def _source_mix(spark, sf_dir):
+    """(source, lang) corpus-composition report: docs, chars, token
+    occurrences, and share of corpus in basis points — the mix table a
+    dataset card publishes and a sampling plan consumes. Scale shape:
+    one combinable groupBy over a bounded (source × lang) key space;
+    the corpus total joins back as a broadcast single row; integer
+    basis points by floor division."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("nc"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("ntok"),
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    tot = d.agg(F.count("*").alias("total_docs"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.expr("div(10000 * n_docs, total_docs)").cast("long").alias("share_bp"),
+    )
+
+
+_O_SOURCE_MIX = """
+WITH d AS (
+  SELECT doc_id, source, lang,
+         length(COALESCE(text, '')) AS nc,
+         len(list_filter(string_split(trim(COALESCE(text, '')), ' '), x -> x <> '')) AS ntok
+  FROM documents),
+g AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS n_docs, SUM(nc)::BIGINT AS n_chars,
+         SUM(ntok)::BIGINT AS n_tokens
+  FROM d GROUP BY source, lang),
+tot AS (SELECT COUNT(*) AS total_docs FROM d)
+SELECT source, lang, n_docs, n_chars, n_tokens,
+       ((10000 * n_docs) // total_docs)::BIGINT AS share_bp
+FROM g, tot
+"""
+
+
 QUERIES = {
     "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
     "token_fingerprints": QueryDef(
@@ -1656,5 +1834,20 @@ QUERIES = {
         _minhash_unicode,
         _unicode_wrap(_minhash_oracle()),
         "MinHash over UTF-8 shingles of non-ASCII payloads (md5-of-UTF-8 agreement)",
+    ),
+    "vocab_topk": QueryDef(
+        _vocab_topk,
+        _O_VOCAB_TOPK,
+        "top-K corpus vocabulary with doc frequencies (two-phase rank, combinable counts)",
+    ),
+    "rare_token_ratio": QueryDef(
+        _rare_token_ratio,
+        _O_RARE_RATIO,
+        "unigram-rarity quality score (integer perplexity proxy; skew-immune rare-token join)",
+    ),
+    "source_mix": QueryDef(
+        _source_mix,
+        _O_SOURCE_MIX,
+        "(source, lang) corpus composition report with basis-point shares",
     ),
 }
