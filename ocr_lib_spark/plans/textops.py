@@ -1648,8 +1648,19 @@ def _rare_token_ratio(spark, sf_dir):
     skew are excluded as non-rare, so the join is skew-immune without
     salting. Tokenless docs are absent (same derivation both engines).
     rare_bp = basis points via floor division."""
+    # The corpus is SCANNED ONCE: all consumers (global counts, corpus
+    # totals, per-doc totals, rare join-back) derive from one
+    # (tok, doc_id) pre-aggregate, lazily localCheckpoint'ed so the
+    # diverging branches reuse it instead of re-running the explode per
+    # branch (the exchange-reuse pattern from round 3 -- without this
+    # the plan read the parquet 4x)
     t = _toks_nonempty(spark, sf_dir)
-    occ = t.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    pd_counts = (
+        t.groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    occ = pd_counts.groupBy("tok").agg(F.sum("c").alias("n_occ"))
     tot = occ.agg(
         F.sum("n_occ").alias("total_occ"), F.count("*").alias("vocab_n")
     )
@@ -1658,9 +1669,9 @@ def _rare_token_ratio(spark, sf_dir):
         .where(F.lit(RARE_FACTOR) * F.col("vocab_n") * F.col("n_occ") < F.col("total_occ"))
         .select("tok")
     )
-    n_tok = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
-    n_rare = t.join(rare, "tok").groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_rare")
+    n_tok = pd_counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n_tokens"))
+    n_rare = pd_counts.join(rare, "tok").groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_rare")
     )
     return (
         n_tok.join(n_rare, "doc_id", "left")
