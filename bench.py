@@ -109,6 +109,8 @@ HEADLINE = [
     "vocab_topk",  # added round 5 (two-phase corpus vocabulary rank)
     "rare_token_ratio",  # added round 5 (integer unigram-rarity score, skew-immune join)
     "source_mix",  # added round 5 ((source, lang) composition report)
+    "conv_turn_stats",  # added round 5 (per-conversation role/alternation hygiene)
+    "conv_quality_bits",  # added round 5 (conversation-level Gopher gate, composed plan)
 ]
 
 

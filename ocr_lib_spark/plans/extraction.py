@@ -381,6 +381,139 @@ def _q_loss_mask_spans(spark, sf_dir):
     return loss_mask_spans(extract_turns(tr))
 
 
+# --- conversation hygiene: alternation stats + conv-level quality gate -------
+# The SFT-curation filters a transcript corpus runs at CONVERSATION
+# granularity: (1) role-structure hygiene — user/assistant alternation
+# violations, boundary roles, tool-call counts; (2) the Gopher rule-bit
+# gate over the assembled conversation text (the doc-level gate is
+# gopher_quality_bits; a chat corpus filters whole conversations).
+
+
+def _q_conv_turn_stats(spark, sf_dir):
+    """Per-conversation hygiene report: turn/role counts, tool calls,
+    boundary roles, and user/assistant alternation violations
+    (consecutive same role among user/assistant turns — tool turns
+    belong to their assistant caller and are excluded from the
+    alternation check). Scale shape: one combinable groupBy + one
+    bounded-key window (lag per conv_id — the gap_sessionize shape);
+    nothing global."""
+    from pyspark.sql import Window
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    base = tr.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("int")).cast("long").alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("int")).cast("long").alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("int")).cast("long").alias("n_tool"),
+        F.sum((F.col("tool") != "").cast("int")).cast("long").alias("n_tool_calls"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    )
+    ua = tr.where(F.col("role").isin("user", "assistant")).select(
+        "conv_id", "turn_idx", "role"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    viol = (
+        ua.withColumn("prev", F.lag("role").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.sum((F.col("role") == F.col("prev")).cast("int"))
+            .cast("long")
+            .alias("nv")
+        )
+    )
+    return base.join(viol, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        "n_tool_calls",
+        "first_role",
+        "last_role",
+        F.coalesce("nv", F.lit(0)).cast("long").alias("n_alternation_violations"),
+    )
+
+
+def _conv_turn_stats_oracle() -> str:
+    from ocr_lib_spark.sources.synth import duckdb_transcripts_cte
+
+    return f"""
+WITH tr AS ({duckdb_transcripts_cte()}),
+base AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+         SUM((role = 'user')::INT)::BIGINT AS n_user,
+         SUM((role = 'assistant')::INT)::BIGINT AS n_assistant,
+         SUM((role = 'tool')::INT)::BIGINT AS n_tool,
+         SUM((tool <> '')::INT)::BIGINT AS n_tool_calls,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role
+  FROM tr GROUP BY conv_id),
+v AS (
+  SELECT conv_id, SUM(same)::BIGINT AS nv FROM (
+    SELECT conv_id,
+           (role = LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx))::INT AS same
+    FROM tr WHERE role IN ('user', 'assistant'))
+  GROUP BY conv_id)
+SELECT base.conv_id, n_turns, n_user, n_assistant, n_tool, n_tool_calls,
+       first_role, last_role, COALESCE(nv, 0)::BIGINT AS n_alternation_violations
+FROM base LEFT JOIN v ON base.conv_id = v.conv_id
+"""
+
+
+def _q_conv_quality_bits(spark, sf_dir):
+    """Gopher rule-bit quality gate at CONVERSATION granularity:
+    extract -> assemble -> gopher_bits_frame over conv_text (newlines
+    normalized to spaces before the shared single-space tokenization,
+    like conv_near_dup). Composes two externally-verified plans; the
+    integer cross-multiplied thresholds carry over unchanged."""
+    from ocr_lib_spark.plans.textops import gopher_bits_frame
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = assemble_conversations(extract_turns(tr))
+    return gopher_bits_frame(
+        conv.select(
+            F.col("conv_id").alias("doc_id"),
+            F.translate("conv_text", "\n", " ").alias("text"),
+        )
+    ).withColumnRenamed("doc_id", "conv_id")
+
+
+def _conv_quality_oracle() -> str:
+    """Stitch the verified gopher fragment onto the verified
+    assembled-conversation CTE (same pattern + drift asserts as
+    _conv_near_dup_oracle)."""
+    from ocr_lib_spark.plans.textops import _O_GOPHER
+
+    g = _O_GOPHER
+    assert g.lstrip().startswith("WITH t AS"), "fragment drift"
+    assert g.count("FROM documents") == 1, "fragment drift: source scan count"
+    g = g.replace("FROM documents", "FROM conv_docs", 1)
+    conv_prefix = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+),
+conv_docs AS (SELECT conv_id AS doc_id, replace(conv_text, chr(10), ' ') AS text FROM conv),"""
+    body = conv_prefix + g.lstrip()[len("WITH") :]
+    return f"""
+WITH g AS ({body})
+SELECT doc_id AS conv_id, n_words, total_chars, n_alpha_words, top_word_n,
+       pass_word_count, pass_mean_word_len, pass_alpha, pass_repetition, pass_all
+FROM g
+"""
+
+
 _ORACLE_LOSS_MASK = f"""
 WITH per_turn AS (
   SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
@@ -585,6 +718,16 @@ QUERIES = {
         _q_loss_mask_spans,
         _ORACLE_LOSS_MASK,
         "SFT loss-mask char spans of assistant turns within assembled conv_text",
+    ),
+    "conv_turn_stats": QueryDef(
+        _q_conv_turn_stats,
+        _conv_turn_stats_oracle(),
+        "per-conversation hygiene: role counts, tool calls, alternation violations",
+    ),
+    "conv_quality_bits": QueryDef(
+        _q_conv_quality_bits,
+        _conv_quality_oracle(),
+        "Gopher rule-bit gate at conversation granularity (composed extract->assemble->gate)",
     ),
     "session_window_agg": QueryDef(
         _q_session_window,
