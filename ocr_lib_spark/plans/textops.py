@@ -481,6 +481,63 @@ def _q_stream_exact_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_stream_dedup_watermark(spark, sf_dir):
+    """BOUNDED-STATE streaming dedup — the production posture
+    stream_exact_dedup's docstring points at: that query's global
+    stateful aggregation keeps one state row per distinct digest
+    forever (global dedup's semantics), while a drop-the-dup pipeline
+    at 10^12-turn scale wants `dropDuplicatesWithinWatermark` — state
+    for a digest is EVICTED once the event-time watermark passes its
+    last occurrence, so state is bounded by the dedup horizon, not the
+    corpus. Event time derives from doc_id in closed form (the
+    transcript ts rule); the fixture replays within one horizon so
+    stream == the batch DISTINCT oracle exactly. Output is the digest
+    SET (payload-free): WHICH physical duplicate survives is
+    arrival-order dependent in any streaming engine, the set is not."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"wmdedup|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_wmdedup_src_{tag}"
+    if not _Path(src, "_SUCCESS").exists():
+        _docs(spark, sf_dir).repartition(6).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = (
+        sdf.select(
+            F.md5("text").alias("digest"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + cast(doc_id AS INT) * INTERVAL '1' SECOND"
+            ).alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest")
+    )
+    name = f"stream_wmdedup_{tag}"
+    spark.catalog.dropTempView(name)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_O_STREAM_WM_DEDUP = "SELECT DISTINCT md5(text) AS digest FROM documents"
+
+
 # --- segment-level exact dedup (CCNet/RefinedWeb paragraph-hash analog) ------
 # Corpus dedup below document granularity: split each doc into
 # non-overlapping SEG_K-word segments, hash each, and flag every
@@ -1765,6 +1822,11 @@ QUERIES = {
         _q_stream_exact_dedup,
         _O_EXACT_DEDUP,
         "exact dedup as a stateful streaming aggregation (stream == batch, driver-gated)",
+    ),
+    "stream_dedup_watermark": QueryDef(
+        _q_stream_dedup_watermark,
+        _O_STREAM_WM_DEDUP,
+        "bounded-state streaming dedup: dropDuplicatesWithinWatermark, state evicted past the horizon",
     ),
     "pii_scrub": QueryDef(
         _pii_scrub,
