@@ -111,6 +111,7 @@ HEADLINE = [
     "source_mix",  # added round 5 ((source, lang) composition report)
     "conv_turn_stats",  # added round 5 (per-conversation role/alternation hygiene)
     "conv_quality_bits",  # added round 5 (conversation-level Gopher gate, composed plan)
+    "conv_packing",  # added round 5 (SFT packing of assembled conversations)
 ]
 
 

@@ -461,6 +461,80 @@ FROM base LEFT JOIN v ON base.conv_id = v.conv_id
 """
 
 
+def _q_conv_packing(spark, sf_dir):
+    """SFT batch packing at CONVERSATION granularity: extract →
+    assemble → BPE-ish token count per conversation → greedy
+    concat-and-chunk under the context budget. The token_packing shape
+    (per-shard running-sum window, no global sort) over assembled
+    conversations — what an SFT dataloader actually packs. Shard key =
+    stable md5 hash of conv_id mod PACK_SHARDS (conv ids are strings;
+    the hash rule is the engine's standard cross-engine int64), order
+    within shard = conv_id (ASCII, both engines agree)."""
+    from ocr_lib_spark.functions.text import bpe_token_count, stable_hash64
+    from ocr_lib_spark.plans.textops import PACK_BUDGET, PACK_SHARDS
+    from pyspark.sql import Window
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = assemble_conversations(extract_turns(tr))
+    d = conv.select(
+        "conv_id",
+        F.pmod(stable_hash64(F.col("conv_id")), F.lit(PACK_SHARDS))
+        .cast("int")
+        .alias("shard"),
+        bpe_token_count("conv_text").cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return d.select(
+        "conv_id",
+        "shard",
+        F.lit(PACK_SHARDS).cast("int").alias("n_shards"),
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_idx"),
+        (start % PACK_BUDGET).cast("long").alias("chunk_offset"),
+    )
+
+
+def _conv_packing_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+    from ocr_lib_spark.plans.textops import PACK_BUDGET, PACK_SHARDS
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+),
+t AS (
+  SELECT conv_id,
+         (('0x' || substr(md5(conv_id), 1, 15))::BIGINT % {PACK_SHARDS})::INT AS shard,
+         len(regexp_extract_all(conv_text, '{bpe_sql}'))::INT AS n_tokens
+  FROM conv),
+s AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM t)
+SELECT conv_id, shard, {PACK_SHARDS}::INT AS n_shards, n_tokens,
+       (start // {PACK_BUDGET})::BIGINT AS chunk_idx,
+       (start % {PACK_BUDGET})::BIGINT AS chunk_offset
+FROM s
+"""
+
+
 def _q_conv_quality_bits(spark, sf_dir):
     """Gopher rule-bit quality gate at CONVERSATION granularity:
     extract -> assemble -> gopher_bits_frame over conv_text (newlines
@@ -728,6 +802,11 @@ QUERIES = {
         _q_conv_quality_bits,
         _conv_quality_oracle(),
         "Gopher rule-bit gate at conversation granularity (composed extract->assemble->gate)",
+    ),
+    "conv_packing": QueryDef(
+        _q_conv_packing,
+        _conv_packing_oracle(),
+        "SFT context-window packing of assembled conversations (per-shard window)",
     ),
     "session_window_agg": QueryDef(
         _q_session_window,
