@@ -490,20 +490,32 @@ def _q_stream_dedup_watermark(spark, sf_dir):
     for a digest is EVICTED once the event-time watermark passes its
     last occurrence, so state is bounded by the dedup horizon, not the
     corpus. Event time derives from doc_id in closed form (the
-    transcript ts rule); the fixture replays within one horizon so
-    stream == the batch DISTINCT oracle exactly. Output is the digest
-    SET (payload-free): WHICH physical duplicate survives is
-    arrival-order dependent in any streaming engine, the set is not."""
+    transcript ts rule). GATE ROBUSTNESS: the gate horizon (30 days)
+    exceeds any fixture's event-time span, because stream==batch
+    parity requires that no row arrive behind the watermark — file
+    replay order follows modification time, which a parallel stage
+    write does NOT tie to the doc_id ranges (a 1-hour horizon dropped
+    early-timestamped late arrivals at sf0.1, whose corpus spans
+    ~83 min). The files are still RANGE-ordered by doc_id and the sink
+    still dedupes, so the digest SET equals the batch DISTINCT oracle
+    at any sf; the real bounded-horizon behavior — eviction and
+    re-emission of a horizon-straddling duplicate — is pinned
+    deterministically in T test_watermark_dedup_horizon_eviction with
+    sequenced single-file micro-batches. Output is payload-free: WHICH
+    physical duplicate survives is arrival-order dependent in any
+    streaming engine, the set is not."""
     import hashlib as _hashlib
     from pathlib import Path as _Path
 
     from ocr_lib_spark.sources.lineage import parquet_snapshot_id
 
     snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
-    tag = _hashlib.md5(f"wmdedup|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    tag = _hashlib.md5(f"wmdedup2|{sf_dir}|{snap}".encode()).hexdigest()[:8]
     src = f"/tmp/ocr_stream_wmdedup_src_{tag}"
     if not _Path(src, "_SUCCESS").exists():
-        _docs(spark, sf_dir).repartition(6).write.mode("overwrite").parquet(src)
+        _docs(spark, sf_dir).repartitionByRange(6, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
     sdf = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 2)
@@ -516,7 +528,7 @@ def _q_stream_dedup_watermark(spark, sf_dir):
                 "timestamp'2024-01-01 00:00:00' + cast(doc_id AS INT) * INTERVAL '1' SECOND"
             ).alias("ts"),
         )
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", "30 days")
         .dropDuplicatesWithinWatermark(["digest"])
         .select("digest")
     )
@@ -532,7 +544,8 @@ def _q_stream_dedup_watermark(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # sink-side dedupe of horizon-straddling re-emissions (see docstring)
+    return spark.table(name).distinct()
 
 
 _O_STREAM_WM_DEDUP = "SELECT DISTINCT md5(text) AS digest FROM documents"

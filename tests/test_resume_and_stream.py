@@ -340,3 +340,66 @@ def test_stream_near_dup_param_validation():
         "max_bucket_members"
     ].default
     assert isinstance(default, int) and default > 0
+
+
+def test_watermark_dedup_horizon_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark bounded-horizon semantics, pinned
+    with sequenced single-file micro-batches (append writes, so file
+    modification times order the replay deterministically): a duplicate
+    whose second occurrence lands BEYOND the horizon re-emits after
+    state eviction (raw sink sees it twice), while an in-horizon
+    duplicate is dropped; the sink-side distinct restores set parity —
+    exactly what the gated stream_dedup_watermark relies on."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    base = "2024-01-01 00:00:00"
+
+    def write(rows):
+        spark.createDataFrame(rows, "digest string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic replay order
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    write([("A", t0), ("B", t0)])
+    # +10s: duplicate A within the 1-minute horizon -> dropped
+    write([("A", t0 + datetime.timedelta(seconds=10))])
+    # +2h / +3h: two batches that advance the watermark past A's state
+    # expiry. TWO are needed: the watermark a batch uses comes from the
+    # PREVIOUS batch's data, and within a batch the duplicate lookup
+    # sees pre-eviction state — so eviction must complete in an earlier
+    # batch than the re-arrival (observed via state metrics:
+    # numRowsRemoved=2 lands on the D batch).
+    write([("C", t0 + datetime.timedelta(hours=2))])
+    write([("D", t0 + datetime.timedelta(hours=3))])
+    # +4h: A's state was evicted -> duplicate A RE-EMITS
+    write([("A", t0 + datetime.timedelta(hours=4))])
+
+    sdf = (
+        spark.readStream.schema("digest string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest")
+    )
+    name = "wmdedup_horizon_t"
+    spark.catalog.dropTempView(name)
+    q = sdf.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw = [r.digest for r in spark.table(name).collect()]
+    assert sorted(raw) == ["A", "A", "B", "C", "D"], raw  # eviction => re-emission
+    assert {r.digest for r in spark.table(name).distinct().collect()} == {
+        "A",
+        "B",
+        "C",
+        "D",
+    }
