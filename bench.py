@@ -186,18 +186,20 @@ def extraction_worker(cores: int, corpus: str) -> None:
     from ocr_lib_spark.pipeline import extract_turns
     from ocr_lib_spark.session import get_spark
 
-    # 24g pre-touched heap: the forced-salted path shuffles its whole
-    # input through this one JVM, and the equal-seconds corpus at the
-    # high level is 12M turns — the 6M-turn GC/spill cliff documented
-    # in BENCH/BASELINE.md sat inside a 12g heap (bimodal salted runs:
-    # 345k vs 470k tps at identical code). Pre-touch keeps the larger
-    # heap out of the kernel (the lazily-grown-24g pathology); startup
-    # cost ~4s once, outside the timed region.
+    # 12g pre-touched heap — measured optimum for BOTH paths at BOTH
+    # levels. A round-5 heap sweep on the 12M-turn corpus found bigger
+    # pre-touched heaps strictly slower on this box: salted local[8]
+    # 12g -> 450-499k tps, 16g -> 242-348k, 24g -> 279-399k; auto
+    # local[32] 12g -> 748-856k vs 24g -> 371k. (The initial round-5
+    # protocol shipped 24g on the "bigger shuffle needs bigger heap"
+    # theory — wrong on this host; the hypothesized 12g GC cliff for
+    # the 12M shuffle does not reproduce.) Pre-touch at 12g keeps the
+    # steady state out of the kernel; startup cost ~2s, untimed.
     spark = get_spark(
         app=f"bench-extract-{cores}",
         cores=cores,
         shuffle_partitions=cores,
-        driver_memory="24g",
+        driver_memory="12g",
     )
     big = spark.read.parquet(corpus)
     extract_turns(big.sample(0.02, seed=1), partitions=cores).agg(
