@@ -28,6 +28,12 @@ FAST_SUBSET = [
     "gopher_quality_bits",
     "conv_near_dup",
     "ivf_train_loop",
+    # round-5 cheap representatives: full-width simhash, two-phase
+    # vocabulary rank, conversation hygiene + packing compositions
+    "simhash64_near_dup",
+    "vocab_topk",
+    "conv_turn_stats",
+    "conv_packing",
 ]
 
 
