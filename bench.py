@@ -112,6 +112,7 @@ HEADLINE = [
     "conv_turn_stats",  # added round 5 (per-conversation role/alternation hygiene)
     "conv_quality_bits",  # added round 5 (conversation-level Gopher gate, composed plan)
     "conv_packing",  # added round 5 (SFT packing of assembled conversations)
+    "conv_training_mix",  # added round 5 (conv-level hygiene+quality+dedup+pack, one plan)
 ]
 
 

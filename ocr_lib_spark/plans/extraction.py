@@ -535,6 +535,150 @@ FROM s
 """
 
 
+def _q_conv_training_mix(spark, sf_dir):
+    """The conversation-level curation pipeline END-TO-END as one plan
+    — the conv-granularity analog of training_mix, and the flagship
+    composition for a transcript corpus: extract → assemble → keep
+    conversations that (a) have clean user/assistant alternation and
+    at least one assistant turn, (b) pass the Gopher rule-bit gate
+    over conv_text, (c) are not the duplicate side of a conv-level
+    simhash near-dup pair (drop id_b — the lexicographically later
+    conversation of each pair) → pack survivors into context windows.
+
+    Plan shape: the extracted+assembled conversations materialize ONCE
+    (lazy localCheckpoint) and feed the quality gate, the simhash
+    banding, and the packing; the hygiene stats derive from the
+    doc_id-only transcript scan (no kernel). Every stage reuses the
+    independently-gated operator and the oracle nests the verified
+    oracle strings whole — no fragment surgery."""
+    from pyspark.sql import Window
+
+    from ocr_lib_spark.functions.text import bpe_token_count, stable_hash64
+    from ocr_lib_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+    from ocr_lib_spark.plans.textops import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+        SIMHASH_BITS,
+        SIMHASH_ND_BANDS,
+        SIMHASH_ND_MAX_BUCKET,
+        SIMHASH_ND_MAX_HAMMING,
+        gopher_bits_frame,
+    )
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = (
+        assemble_conversations(extract_turns(tr))
+        .select("conv_id", "conv_text")
+        .localCheckpoint(eager=False)
+    )
+    quality_keep = (
+        gopher_bits_frame(
+            conv.select(
+                F.col("conv_id").alias("doc_id"),
+                F.translate("conv_text", "\n", " ").alias("text"),
+            )
+        )
+        .where("pass_all")
+        .select(F.col("doc_id").alias("conv_id"))
+    )
+    fp = simhash_bits(
+        conv.select(
+            F.col("conv_id").alias("doc_id"),
+            F.translate("conv_text", "\n", " ").alias("text"),
+        ),
+        n_bits=SIMHASH_BITS,
+    )
+    pairs = simhash_near_dup_pairs(
+        fp,
+        n_bits=SIMHASH_BITS,
+        bands=SIMHASH_ND_BANDS,
+        max_hamming=SIMHASH_ND_MAX_HAMMING,
+        max_bucket_size=SIMHASH_ND_MAX_BUCKET,
+    )
+    dup_drop = pairs.select(F.col("id_b").alias("conv_id")).distinct()
+    hygiene_keep = (
+        _q_conv_turn_stats(spark, sf_dir)
+        .where((F.col("n_alternation_violations") == 0) & (F.col("n_assistant") >= 1))
+        .select("conv_id")
+    )
+    keep = (
+        conv.join(hygiene_keep, "conv_id")
+        .join(quality_keep, "conv_id")
+        .join(dup_drop, "conv_id", "left_anti")
+    )
+    d = keep.select(
+        "conv_id",
+        F.pmod(stable_hash64(F.col("conv_id")), F.lit(PACK_SHARDS))
+        .cast("int")
+        .alias("shard"),
+        bpe_token_count("conv_text").cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return d.select(
+        "conv_id",
+        "shard",
+        F.lit(PACK_SHARDS).cast("int").alias("n_shards"),
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_idx"),
+        (start % PACK_BUDGET).cast("long").alias("chunk_offset"),
+    )
+
+
+def _conv_training_mix_oracle() -> str:
+    """Nest the four verified oracles whole (DuckDB allows WITH inside
+    parenthesized subqueries) — each re-derives its own inputs, so no
+    fragment surgery can drift."""
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+    from ocr_lib_spark.plans.textops import PACK_BUDGET, PACK_SHARDS
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+),
+stats AS (SELECT * FROM ({_conv_turn_stats_oracle()}) s),
+quality AS (SELECT * FROM ({_conv_quality_oracle()}) g),
+pairs AS (SELECT * FROM ({_conv_near_dup_oracle()}) p),
+keep AS (
+  SELECT conv.conv_id, conv.conv_text
+  FROM conv
+  JOIN stats ON stats.conv_id = conv.conv_id
+            AND stats.n_alternation_violations = 0 AND stats.n_assistant >= 1
+  JOIN quality ON quality.conv_id = conv.conv_id AND quality.pass_all
+  WHERE conv.conv_id NOT IN (SELECT id_b FROM pairs)
+),
+t AS (
+  SELECT conv_id,
+         (('0x' || substr(md5(conv_id), 1, 15))::BIGINT % {PACK_SHARDS})::INT AS shard,
+         len(regexp_extract_all(conv_text, '{bpe_sql}'))::INT AS n_tokens
+  FROM keep),
+s AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM t)
+SELECT conv_id, shard, {PACK_SHARDS}::INT AS n_shards, n_tokens,
+       (start // {PACK_BUDGET})::BIGINT AS chunk_idx,
+       (start % {PACK_BUDGET})::BIGINT AS chunk_offset
+FROM s
+"""
+
+
 def _q_conv_quality_bits(spark, sf_dir):
     """Gopher rule-bit quality gate at CONVERSATION granularity:
     extract -> assemble -> gopher_bits_frame over conv_text (newlines
@@ -807,6 +951,11 @@ QUERIES = {
         _q_conv_packing,
         _conv_packing_oracle(),
         "SFT context-window packing of assembled conversations (per-shard window)",
+    ),
+    "conv_training_mix": QueryDef(
+        _q_conv_training_mix,
+        _conv_training_mix_oracle(),
+        "conversation-level curation END-TO-END: hygiene + Gopher gate + near-dup drop + packing, one plan",
     ),
     "session_window_agg": QueryDef(
         _q_session_window,
