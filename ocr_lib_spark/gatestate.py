@@ -54,8 +54,12 @@ def fingerprint(fn, oracle: str | None) -> str:
     the oracle (e.g. the r04 two-phase top-k)."""
     try:
         src = inspect.getsource(fn)
-    except (OSError, TypeError):  # builtins/partials: fall back to repr
-        src = repr(fn)
+    except (OSError, TypeError):
+        # builtins/partials have no retrievable source. Use a stable
+        # module-qualified name, NOT repr(fn): repr embeds the object's
+        # memory address, which differs every process and would pin the
+        # query permanently stale (ADVICE r05).
+        src = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', getattr(fn, '__name__', '?'))}"
     h = hashlib.sha256()
     h.update(src.encode())
     h.update(b"\x00")
@@ -79,11 +83,23 @@ def load_state(path: str | None = None) -> dict:
 
 def priority_order(names: list[str], fps: Mapping[str, str], state: Mapping) -> list[str]:
     """Changed-or-never-gated first (registry order), then verified-
-    unchanged queries in registry order."""
+    unchanged queries OLDEST GREEN GATE FIRST (round ascending, registry
+    order within a round).
+
+    The second tier is the round-6 addition (VERDICT r05 item 3): with a
+    changed-first-only rotation, a query untouched since round 2 never
+    re-enters the ~50-query externally verified prefix, so oracle or
+    environment drift on the unchanged tier would go unseen indefinitely.
+    Aging the fp-matched tier by its recorded gate round makes every
+    unchanged query cycle back through the prefix over successive rounds.
+    """
     pos = {n: i for i, n in enumerate(names)}
 
-    def stale(n: str) -> bool:
+    def key(n: str):
         rec = state.get(n)
-        return not (isinstance(rec, dict) and rec.get("fp") == fps.get(n))
+        stale = not (isinstance(rec, dict) and rec.get("fp") == fps.get(n))
+        if stale:
+            return (0, 0, pos[n])
+        return (1, rec.get("round") or 0, pos[n])
 
-    return sorted(names, key=lambda n: (0 if stale(n) else 1, pos[n]))
+    return sorted(names, key=key)

@@ -525,7 +525,10 @@ def _q_stream_dedup_watermark(spark, sf_dir):
         sdf.select(
             F.md5("text").alias("digest"),
             F.expr(
-                "timestamp'2024-01-01 00:00:00' + cast(doc_id AS INT) * INTERVAL '1' SECOND"
+                # doc_id stays BIGINT: an INT cast wraps silently past
+                # 2^31 with ANSI off, making event time non-monotonic so
+                # late rows would drop behind the watermark (ADVICE r05)
+                "timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL '1' SECOND"
             ).alias("ts"),
         )
         .withWatermark("ts", "30 days")

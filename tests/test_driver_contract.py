@@ -84,9 +84,13 @@ def test_gate_priority_ordering():
     GATE_STATE.json — queries whose current fingerprint (fn source +
     oracle SQL) differs from the one verified at their last green
     external gate, or never gated, must all precede every
-    verified-unchanged query; each tier keeps stable registry order.
-    Deterministic across checkouts: both inputs (registry source and
-    state file) are tracked."""
+    verified-unchanged query. Round-6 extension (VERDICT r05 item 3):
+    the verified-unchanged tier is ordered by last-green-gate round
+    ASCENDING (oldest first) so unchanged queries cycle back through
+    the externally verified prefix instead of never re-gating; ties and
+    the stale tier keep stable registry order. Deterministic across
+    checkouts: both inputs (registry source and state file) are
+    tracked."""
     from ocr_lib_spark.gatestate import current_fingerprints, load_state
     from ocr_lib_spark.plans import build_registry
 
@@ -107,6 +111,12 @@ def test_gate_priority_ordering():
         f"{[(n, s) for n, s in zip(order, flags)]}"
     )
     pos = {n: i for i, n in enumerate(reg)}
-    for tier in (True, False):
-        tier_pos = [pos[n] for n, s in zip(order, flags) if s is tier]
-        assert tier_pos == sorted(tier_pos), "tiers must keep stable registry order"
+    stale_pos = [pos[n] for n, s in zip(order, flags) if s]
+    assert stale_pos == sorted(stale_pos), "stale tier must keep stable registry order"
+    fresh_keys = [
+        (state[n].get("round") or 0, pos[n]) for n, s in zip(order, flags) if not s
+    ]
+    assert fresh_keys == sorted(fresh_keys), (
+        "verified-unchanged tier must age oldest-gate-round first, "
+        "registry order within a round"
+    )

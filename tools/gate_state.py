@@ -41,6 +41,13 @@ def record(round_no: int) -> None:
     root = os.path.dirname(state_path())
     with open(os.path.join(root, f"CORRECTNESS_r{round_no:02d}.json")) as f:
         rows = json.load(f)
+    if not isinstance(rows, dict):
+        raise SystemExit(
+            f"CORRECTNESS_r{round_no:02d}.json is not a per-query dict "
+            f"(got {type(rows).__name__}); rounds 1-2 used a legacy list "
+            "format that carries no per-row verdicts — point record at "
+            "round 3 or later."
+        )
     reg = _registry()
     fps = current_fingerprints(reg)
     state = load_state()
