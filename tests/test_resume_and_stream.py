@@ -403,3 +403,104 @@ def test_watermark_dedup_horizon_eviction(spark, tmp_path):
         "C",
         "D",
     }
+
+
+def test_chunk_codec_roundtrip_and_batch_sort_parity():
+    """Pure-function contract of the chunked GroupState codec (round 6):
+    encode/decode are inverse, and merge_chunk's (turn_idx, bytes) sort
+    equals the batch twin's array_sort(struct(turn_idx, text)) order —
+    Spark compares UTF8String byte-wise, so python bytes ordering of the
+    UTF-8 encoding is the same total order."""
+    from ocr_lib_spark.streaming.stateful import (
+        decode_chunk,
+        encode_chunk,
+        merge_chunk,
+    )
+
+    entries = [(0, "héllo".encode()), (1, b""), (3, b"x" * 1000), (7, b"z")]
+    meta, store = encode_chunk(entries)
+    assert decode_chunk(meta, store) == entries
+
+    # out-of-order + duplicate turn_idx arrivals fold into sorted order
+    # with byte-wise text tiebreak (the batch array_sort tiebreak)
+    meta, store = encode_chunk([])
+    for batch in ([(3, b"bb")], [(1, "ü".encode()), (3, b"aa")], [(0, b"")]):
+        meta, store = merge_chunk(meta, store, batch)
+    assert decode_chunk(meta, store) == [
+        (0, b""),
+        (1, "ü".encode()),
+        (3, b"aa"),
+        (3, b"bb"),
+    ]
+
+
+def test_stateful_assembly_mega_conversation_bounded_state(spark, tmp_path):
+    """North-rule 10^6-turn hazard, scaled to 10^5 (VERDICT r05 item 1):
+    a single 100k-turn conversation streams across 8 micro-batches in
+    shuffled turn order; the emitted document equals the batch
+    assembler's, and the state held per-chunk blobs — the emitted
+    n_state_chunks witness equals ceil(n_turns / chunk_turns), NOT a
+    per-turn array length."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.pipeline import assemble_conversations
+    from ocr_lib_spark.streaming.stateful import assemble_conversations_stateful
+
+    n, chunk_turns = 100_000, 1024
+    base = spark.range(n).select(
+        F.lit("conv-big").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 7 == 3, "")
+        .otherwise(F.concat(F.lit("turn "), F.col("id"), F.lit(" content")))
+        .alias("extracted_text"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("id") % 3600) * F.expr("INTERVAL 1 SECOND")
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "mega_src")
+    # shuffled order across 8 files -> every micro-batch hits most chunks
+    base.orderBy(F.md5(F.col("id").cast("string"))).repartition(8).write.parquet(src)
+
+    st = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, extracted_text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = assemble_conversations_stateful(
+        st, watermark="2 hours", gap_ms=60_000, chunk_turns=chunk_turns
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mega_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        poke = spark.createDataFrame(
+            [("zz_poke", 0, "x")],
+            "conv_id string, turn_idx int, extracted_text string",
+        ).withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-03 00:00:00")),
+        )
+        poke.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM t_mega_out WHERE conv_id = 'conv-big'")
+        .toPandas()
+        .iloc[0]
+    )
+    exp = assemble_conversations(base).toPandas().iloc[0]
+    assert got["conv_text"] == exp["conv_text"]
+    assert int(got["n_turns"]) == n == int(exp["n_turns"])
+    assert int(got["n_content_turns"]) == int(exp["n_content_turns"])
+    assert int(got["n_state_chunks"]) == math.ceil(n / chunk_turns)
