@@ -881,6 +881,63 @@ def _q_stream_conv_assembly(spark, sf_dir):
     )
 
 
+def _q_prototype_stats(spark, sf_dir):
+    """Taught-alphabet stats + size-gate envelope (core_helper.clj:13-23
+    analog; VERDICT r05 item 4 — the one §2 row without external
+    evidence). sf-independent: the alphabet is a taught dimension table,
+    not corpus data; ``sf_dir`` is ignored by contract."""
+    from ocr_lib_spark.operators.prototypes import prototype_stats_df
+
+    return prototype_stats_df(spark)
+
+
+def _prototype_stats_oracle() -> str:
+    """DuckDB twin over the SAME taught prototype matrix, embedded as a
+    VALUES literal with repr() doubles (the trained-IVF-codebook oracle
+    precedent): the cross-engine claim verified is the posexplode +
+    integer-ppm scaling + grouped min/max/sum plan, on inputs both
+    engines parse to bit-identical doubles."""
+    from ocr_lib_spark.operators.prototypes import (
+        SIZE_GATE_TOL_PPM,
+        taught_prototypes,
+    )
+
+    m, labels, keep = taught_prototypes()
+    nf = m.shape[1]
+    rows = ", ".join(
+        "("
+        + ", ".join(
+            [f"'{lab}'", "TRUE" if k else "FALSE"]
+            + [repr(float(x)) for x in vec]
+        )
+        + ")"
+        for lab, k, vec in zip(labels, keep.tolist(), m)
+    )
+    fcols = ", ".join(f"f{i}" for i in range(nf))
+    case = " ".join(f"WHEN {i} THEN f{i}" for i in range(nf))
+    feats = ", ".join(f"({i})" for i in range(nf))
+    return f"""
+WITH p(label, keep, {fcols}) AS (VALUES {rows}),
+feat(feat_idx) AS (VALUES {feats}),
+x AS (
+  SELECT feat_idx, keep,
+         CAST(FLOOR((CASE feat_idx {case} END) * 1000000) AS BIGINT) AS s
+  FROM p CROSS JOIN feat
+)
+SELECT feat_idx,
+       COUNT(*)::BIGINT AS n_protos,
+       MIN(s) AS min_f,
+       MAX(s) AS max_f,
+       SUM(s)::BIGINT AS sum_f,
+       MIN(CASE WHEN keep THEN s END) AS keep_min_f,
+       MAX(CASE WHEN keep THEN s END) AS keep_max_f,
+       MIN(CASE WHEN keep THEN s END) - {SIZE_GATE_TOL_PPM} AS gate_lo,
+       MAX(CASE WHEN keep THEN s END) + {SIZE_GATE_TOL_PPM} AS gate_hi
+FROM x
+GROUP BY feat_idx
+"""
+
+
 QUERIES = {
     "extract_text": QueryDef(
         _q_extract_text,
@@ -971,5 +1028,10 @@ QUERIES = {
         _q_stream_conv_assembly,
         _ORACLE_CONV,
         "stateful streaming assembly (applyInPandasWithState, event-time timeout) vs the batch conv oracle",
+    ),
+    "prototype_stats": QueryDef(
+        _q_prototype_stats,
+        _prototype_stats_oracle(),
+        "taught-alphabet min/max/sum stats + size-gate envelope (core_helper.clj:13-23 analog)",
     ),
 }

@@ -317,3 +317,29 @@ def test_shift_avg_classifier_is_config_selectable():
     cfg = ExtractionConfig(classifier="shift_avg")
     out = extract_batch(pd.Series([build_payload(PROSE, 1)]), cfg)
     assert out.extracted_text[0] == PROSE
+
+
+def test_prototype_stats_size_gate_envelope(spark):
+    """Alphabet-stats sanity gate (core_helper.clj:13-23 analog, round
+    6): the derived keep-class envelope is well-formed — lo < hi per
+    feature, bounds inside the tol-padded [0,1] feature range, and the
+    keep envelope is a sub-range of the full alphabet's min/max (the
+    reference's size gate would otherwise reject every block)."""
+    from ocr_lib_spark.operators.prototypes import (
+        SIZE_GATE_TOL_PPM,
+        N_FEATURES_EXPECTED,
+        prototype_stats_df,
+    )
+
+    pdf = prototype_stats_df(spark).toPandas().sort_values("feat_idx")
+    assert list(pdf.feat_idx) == list(range(N_FEATURES_EXPECTED))
+    assert (pdf.n_protos == pdf.n_protos.iloc[0]).all()
+    assert (pdf.gate_lo < pdf.gate_hi).all()
+    assert (pdf.gate_lo >= -SIZE_GATE_TOL_PPM).all()
+    assert (pdf.gate_hi <= 1_000_000 + SIZE_GATE_TOL_PPM).all()
+    assert (pdf.min_f <= pdf.keep_min_f).all()
+    assert (pdf.keep_max_f <= pdf.max_f).all()
+    # the envelope separates at least one feature: the drop classes are
+    # not wholly inside the keep gate (link_farm's link_density must
+    # fall outside, or the size gate gates nothing)
+    assert ((pdf.min_f < pdf.gate_lo) | (pdf.max_f > pdf.gate_hi)).any()
