@@ -38,24 +38,17 @@ def recall_at_k(spark, sf_dir: str) -> dict:
         ).collect()
     }
     out = {"sf": os.path.basename(sf_dir), "k": IVF_K, "gate_nprobe": IVF_NPROBE}
-    import ocr_lib_spark.plans.vectors as V
-
-    saved = V.IVF_NPROBE
-    try:
-        for nprobe in (IVF_NPROBE, 4, 8):
-            # diagnostic-only override of the module constant the plan
-            # reads at call time; gated queries always run the default
-            V.IVF_NPROBE = nprobe
-            for label, trained in (("seed", False), ("trained", True)):
-                got = {
-                    (r["query_id"], r["neighbor_id"])
-                    for r in _ivf_topk(spark, sf_dir, trained=trained).collect()
-                }
-                out[f"recall_{label}@nprobe{nprobe}"] = round(
-                    len(got & truth) / len(truth), 4
-                )
-    finally:
-        V.IVF_NPROBE = saved
+    for nprobe in (IVF_NPROBE, 4, 8):
+        for label, trained in (("seed", False), ("trained", True)):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in _ivf_topk(
+                    spark, sf_dir, trained=trained, nprobe=nprobe
+                ).collect()
+            }
+            out[f"recall_{label}@nprobe{nprobe}"] = round(
+                len(got & truth) / len(truth), 4
+            )
     return out
 
 
