@@ -219,6 +219,388 @@ def png_decode(buf: bytes):
         return None
 
 
+# --- baseline JPEG (ITU-T T.81) grayscale decode ------------------------------
+# Round-6 parity item (VERDICT r05 item 6): PNG had a true-pixel stdlib
+# decoder; JPEG was header-probe only, so JPEG thumbnails fell back to
+# byte-space. This is a minimal BASELINE-DCT decoder: SOF0, 8-bit,
+# 1-4 components with arbitrary sampling factors, DRI/RSTn restarts,
+# 0xFF00 stuffing. Output is the GRAYSCALE plane (component 0 = Y) —
+# chroma blocks are entropy-decoded (the bitstream demands it) but not
+# color-converted; grayscale is what the downstream feature kernels
+# (thumbnail grid, contrast scan) consume. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision return None -> the cascade
+# falls through to the header probe exactly as before.
+
+#: standard zigzag scan order (T.81 Figure 5): zigzag index -> row-major
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: 8-point DCT-II basis: _DCT_C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: standard luminance Huffman tables (T.81 Annex K.3): (BITS, HUFFVAL)
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: flat near-lossless quant table used by the fixture encoder (quality
+#: knob deliberately absent: deterministic fixtures, not compression)
+_FLAT_Q = np.ones(64, dtype=np.int64)
+
+JPEG_MAX_PIXELS = 16 * 1024 * 1024  # decode-side DoS guard, like PNG's
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+class _JpegBits:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; a bare marker
+    raises _JpegMarker (RSTn handling / truncation detection)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.i, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise _JpegMarker(None)
+            b = self.d[self.i]
+            self.i += 1
+            if b == 0xFF:
+                nxt = self.d[self.i] if self.i < len(self.d) else None
+                if nxt == 0x00:
+                    self.i += 1
+                else:
+                    raise _JpegMarker(nxt)
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.n = 0
+
+    def expect_rst(self, k: int) -> None:
+        """Consume the RSTk marker at a restart boundary."""
+        self.byte_align()
+        if self.i + 2 > len(self.d) or self.d[self.i] != 0xFF or self.d[
+            self.i + 1
+        ] != (0xD0 + (k & 7)):
+            raise _JpegMarker(None)
+        self.i += 2
+
+
+def _huff_symbol(r: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise _JpegMarker(None)
+
+
+def _extend(v: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map s read bits to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_gray_decode(buf: bytes):
+    """Baseline-DCT JPEG -> (h, w) uint8 GRAYSCALE array (component 0),
+    or None when the payload is not a decodable baseline JPEG. See the
+    section comment for scope; ImageIO/read parity (core.clj:1498-1500)
+    for the second real format."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        sof = None
+        dri = 0
+        i = 2
+        n = len(buf)
+        while i + 4 <= n:
+            if buf[i] != 0xFF:
+                return None
+            marker = buf[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if seg < 2 or i + 2 + seg > n:
+                return None
+            data = buf[i + 4 : i + 2 + seg]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(data):
+                    pq, tq = data[p] >> 4, data[p] & 15
+                    p += 1
+                    if pq == 0:
+                        qt[tq] = np.frombuffer(
+                            data[p : p + 64], dtype=np.uint8
+                        ).astype(np.int64)
+                        p += 64
+                    else:
+                        qt[tq] = np.frombuffer(
+                            data[p : p + 128], dtype=">u2"
+                        ).astype(np.int64)
+                        p += 128
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(data):
+                    tc, th = data[p] >> 4, data[p] & 15
+                    bits = list(data[p + 1 : p + 17])
+                    cnt = sum(bits)
+                    vals = list(data[p + 17 : p + 17 + cnt])
+                    huff[(tc, th)] = _huff_decode_table(bits, vals)
+                    p += 17 + cnt
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = data[0]
+                h = int.from_bytes(data[1:3], "big")
+                w = int.from_bytes(data[3:5], "big")
+                nc = data[5]
+                if prec != 8 or not (1 <= nc <= 4) or not (w and h):
+                    return None
+                if w * h > JPEG_MAX_PIXELS:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (h, w, comps)
+            elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # non-baseline frame (progressive etc.)
+            elif marker == 0xDD:  # DRI
+                dri = int.from_bytes(data[:2], "big")
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    return None
+                h, w, comps = sof
+                ns = data[0]
+                scan = []
+                for s in range(ns):
+                    cs, tdta = data[1 + 2 * s], data[2 + 2 * s]
+                    idx = next(
+                        (j for j, c in enumerate(comps) if c[0] == cs), None
+                    )
+                    if idx is None:
+                        return None
+                    scan.append((idx, tdta >> 4, tdta & 15))
+                if {j for j, _, _ in scan} != set(range(len(comps))):
+                    return None  # multi-scan not supported (baseline has 1)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # grayscale output plane: component 0 only
+                _, h0, v0, tq0 = comps[0]
+                plane = np.zeros((mcuy * v0 * 8, mcux * h0 * 8), dtype=np.uint8)
+                r = _JpegBits(buf, i + 2 + seg)
+                preds = [0] * len(comps)
+                rst = 0
+                for m in range(mcux * mcuy):
+                    if dri and m and m % dri == 0:
+                        r.expect_rst(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(comps)
+                    my, mx = divmod(m, mcux)
+                    for ci, td, ta in scan:
+                        _, hf, vf, tq = comps[ci]
+                        dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+                        q = qt[tq]
+                        for by in range(vf):
+                            for bx in range(hf):
+                                zz = np.zeros(64, dtype=np.int64)
+                                s = _huff_symbol(r, dc_t)
+                                preds[ci] += _extend(r.bits(s), s)
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_symbol(r, ac_t)
+                                    rr, ss = rs >> 4, rs & 15
+                                    if ss == 0:
+                                        if rr == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += rr
+                                    if k > 63:
+                                        return None
+                                    zz[k] = _extend(r.bits(ss), ss)
+                                    k += 1
+                                if ci != 0:
+                                    continue  # chroma: bitstream advanced, done
+                                blk = np.zeros(64, dtype=np.float64)
+                                blk[_ZIGZAG] = zz * q
+                                sp = _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C
+                                y0 = (my * vf + by) * 8
+                                x0 = (mx * hf + bx) * 8
+                                plane[y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                                    np.round(sp) + 128, 0, 255
+                                ).astype(np.uint8)
+                # component-0 true size, then replicate up to image dims
+                h_c = -(-h * v0 // vmax)
+                w_c = -(-w * h0 // hmax)
+                plane = plane[:h_c, :w_c]
+                if v0 != vmax or h0 != hmax:
+                    plane = plane.repeat(vmax // v0, axis=0).repeat(
+                        hmax // h0, axis=1
+                    )
+                return plane[:h, :w]
+            i += 2 + seg
+        return None
+    except (_JpegMarker, IndexError, KeyError, ValueError):
+        return None
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def put(self, v: int, k: int) -> None:
+        for j in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> j) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad (spec)
+        return bytes(self.out)
+
+
+def _huff_encode_table(bits, vals):
+    dec = _huff_decode_table(bits, vals)
+    return {sym: (ln, code) for (ln, code), sym in dec.items()}
+
+
+def jpeg_gray_encode(img: "np.ndarray", quant: "np.ndarray | None" = None) -> bytes:
+    """Minimal baseline grayscale JPEG ENCODER (fixture generator, not a
+    compressor): 8-bit single-component SOF0, standard Annex-K luminance
+    Huffman tables, flat near-lossless quant table by default. Exists so
+    the decoder is testable with deterministic synthetic payloads in a
+    container with no codecs (north rule: no external data); doubles as
+    the ImageIO/write stub for the gray path (core_helper.clj:949)."""
+    import struct
+
+    img = np.asarray(img, dtype=np.int64)
+    h, w = img.shape
+    q = _FLAT_Q if quant is None else np.asarray(quant, dtype=np.int64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_enc = _huff_encode_table(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _huff_encode_table(_STD_AC_BITS, _STD_AC_VALS)
+    wtr = _JpegBitWriter()
+    pred = 0
+    qz = q  # quant table indexed in zigzag order (as stored in DQT)
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            blk = pad[y0 : y0 + 8, x0 : x0 + 8] - 128
+            coef = _DCT_C @ blk.astype(np.float64) @ _DCT_C.T
+            zz = np.round(coef.reshape(64)[_ZIGZAG] / qz).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = abs(diff).bit_length()
+            ln, code = dc_enc[s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_enc[0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_enc[(run << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = ac_enc[0x00]
+                wtr.put(code, ln)
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + dht(0, 0, _STD_DC_BITS, _STD_DC_VALS)
+        + dht(1, 0, _STD_AC_BITS, _STD_AC_VALS)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -237,6 +619,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
       pil  — full codec (when PIL is installed; not in this container)
       png  — REAL stdlib-only pixel decode (``png_decode``): dims from
              the reconstructed pixel array itself
+      jpg  — REAL baseline-DCT gray decode (``jpeg_gray_decode``)
       hdr  — dependency-free header probe (``probe_image_dims``): REAL
              dims struct-parsed from PNG/GIF/JPEG/BMP containers
       stub — pinned deterministic fake dims for unrecognized payloads
@@ -261,6 +644,10 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
                 px = png_decode(b)
                 if px is not None:
                     return px.shape[1], px.shape[0], "png"
+            if b[:2] == b"\xff\xd8":
+                px = jpeg_gray_decode(b)
+                if px is not None:
+                    return px.shape[1], px.shape[0], "jpg"
             probed = probe_image_dims(b)
             if probed is not None:
                 return probed[0], probed[1], "hdr"
@@ -347,23 +734,30 @@ def byte_thumbnail(
     pixel resize (PIL ``Image.resize``) drops into the same shape when
     codecs exist. Emits long-format scalar rows (driver-gate friendly).
 
-    PNG payloads take a TRUE-PIXEL path: ``png_decode`` reconstructs
-    the pixel grid, channels average to grayscale, and when ``cells``
-    is a perfect square g² the thumbnail is a real g×g area-average
-    over the 2-D image (integral-image cumsum; cell = row·g + col),
-    falling back to row-major 1-D stripes otherwise. Non-PNG payloads
-    keep the byte-stream analog.
+    PNG and baseline-JPEG payloads take a TRUE-PIXEL path:
+    ``png_decode`` / ``jpeg_gray_decode`` reconstruct the pixel grid,
+    channels average to grayscale (JPEG decodes to gray directly), and
+    when ``cells`` is a perfect square g² the thumbnail is a real g×g
+    area-average over the 2-D image (integral-image cumsum;
+    cell = row·g + col), falling back to row-major 1-D stripes
+    otherwise. Other payloads keep the byte-stream analog.
     """
     grid = int(np.sqrt(cells))
     grid = grid if grid * grid == cells else 0
 
     def png_cells(b):
-        if b[:8] != b"\x89PNG\r\n\x1a\n":
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            px = png_decode(b)
+            if px is None:
+                return None
+            gray = px.astype(np.int64).sum(axis=2) // px.shape[2]  # h × w
+        elif b[:2] == b"\xff\xd8":
+            gray = jpeg_gray_decode(b)
+            if gray is None:
+                return None
+            gray = gray.astype(np.int64)
+        else:
             return None
-        px = png_decode(b)
-        if px is None:
-            return None
-        gray = px.astype(np.int64).sum(axis=2) // px.shape[2]  # h × w
         h, w = gray.shape
         if grid and h >= grid and w >= grid:
             ii = np.zeros((h + 1, w + 1), dtype=np.int64)
