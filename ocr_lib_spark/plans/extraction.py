@@ -118,10 +118,24 @@ FROM base WHERE c = 2
 """
 
 
+def _assemble_small(ex):
+    """Assembly for the KNOWN-SMALL fixture layout: the synthetic
+    transcripts bound turns-per-conversation at n_docs / N_CONVS
+    (sources/synth.py round-robins doc_id), so the two-level chunked
+    concat's OOM guard buys nothing here and its second shuffle costs
+    a same-window A/B-measured 1.32-1.37x (tools/conv_assembly_ab.py,
+    sf0.1, 9 interleaved reps — the round-5 conv_assembly "2x drift"
+    was this, not the host window). chunk_turns=None is the
+    single-shuffle plan; the operator default stays 1024 so unknown
+    callers keep the 10^6-turn safety (pipeline.assemble_conversations
+    docstring has the tradeoff)."""
+    return assemble_conversations(ex, chunk_turns=None)
+
+
 def _q_conv_assembly(spark, sf_dir):
     tr = transcripts_from_documents(spark, sf_dir)
     ex = extract_turns(tr)
-    return assemble_conversations(ex).select(
+    return _assemble_small(ex).select(
         "conv_id", "conv_text", "n_turns", "n_content_turns"
     )
 
@@ -236,7 +250,7 @@ def _q_conv_dedup(spark, sf_dir):
     pipeline a 100 TB corpus dedup runs, with extraction earned from
     the payloads, not the construction)."""
     tr = transcripts_from_documents(spark, sf_dir)
-    conv = assemble_conversations(extract_turns(tr))
+    conv = _assemble_small(extract_turns(tr))
     return (
         conv.select(F.md5("conv_text").alias("digest"), "conv_id")
         .groupBy("digest")
@@ -282,7 +296,7 @@ def _q_conv_near_dup(spark, sf_dir):
     )
 
     tr = transcripts_from_documents(spark, sf_dir)
-    conv = assemble_conversations(extract_turns(tr))
+    conv = _assemble_small(extract_turns(tr))
     # normalize the turn-separator newlines to spaces BEFORE hashing:
     # the shared simhash tokenization contract is single-space-split
     # (documents are newline-free; assembled conversations are not)
@@ -475,7 +489,7 @@ def _q_conv_packing(spark, sf_dir):
     from pyspark.sql import Window
 
     tr = transcripts_from_documents(spark, sf_dir)
-    conv = assemble_conversations(extract_turns(tr))
+    conv = _assemble_small(extract_turns(tr))
     d = conv.select(
         "conv_id",
         F.pmod(stable_hash64(F.col("conv_id")), F.lit(PACK_SHARDS))
@@ -567,7 +581,7 @@ def _q_conv_training_mix(spark, sf_dir):
 
     tr = transcripts_from_documents(spark, sf_dir)
     conv = (
-        assemble_conversations(extract_turns(tr))
+        _assemble_small(extract_turns(tr))
         .select("conv_id", "conv_text")
         .localCheckpoint(eager=False)
     )
@@ -688,7 +702,7 @@ def _q_conv_quality_bits(spark, sf_dir):
     from ocr_lib_spark.plans.textops import gopher_bits_frame
 
     tr = transcripts_from_documents(spark, sf_dir)
-    conv = assemble_conversations(extract_turns(tr))
+    conv = _assemble_small(extract_turns(tr))
     return gopher_bits_frame(
         conv.select(
             F.col("conv_id").alias("doc_id"),
