@@ -24,9 +24,9 @@ def load(spark, sf_dir: str, name: str):
 
 
 def build_registry() -> dict:
-    from ocr_lib_spark.plans import extraction, relational, textops, vectors
+    from ocr_lib_spark.plans import curation, extraction, relational, textops, vectors
 
     reg: dict[str, QueryDef] = {}
-    for mod in (extraction, relational, textops, vectors):
+    for mod in (extraction, relational, textops, vectors, curation):
         reg.update(mod.QUERIES)
     return reg

@@ -895,6 +895,79 @@ def _q_stream_conv_assembly(spark, sf_dir):
     )
 
 
+def _q_conv_decontaminate(spark, sf_dir):
+    """Conversation-level eval decontamination (round 6): the doc-level
+    gate (plans/textops.py decontaminate) re-run at the granularity SFT
+    curation actually filters at — a conversation whose ASSEMBLED text
+    shares word-8-grams with the holdout set leaks eval data even when
+    every individual turn is short enough to slip the doc gate. Holdout
+    = conversations whose numeric id ≡ 0 (mod DECON_HOLDOUT_MOD); their
+    distinct gram set broadcasts (holdouts are small by nature), the
+    corpus side streams through the broadcast join — never a
+    corpus×corpus product. Composes extract -> assemble (single-level,
+    known-small layout) -> gram overlap, all earned from payloads."""
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = _assemble_small(extract_turns(tr)).select(
+        "conv_id", F.expr("replace(conv_text, chr(10), ' ')").alias("text")
+    )
+    toks = F.split(F.trim("text"), " ")
+    grams = F.expr(
+        f"CASE WHEN size(t) >= {DECON_K} THEN "
+        f"transform(sequence(0, cast(size(t) as int) - {DECON_K}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {DECON_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    g = conv.select(
+        "conv_id",
+        F.substring("conv_id", 6, 8).cast("long").alias("cnum"),
+        toks.alias("t"),
+    ).select("conv_id", "cnum", F.explode(grams).alias("g"))
+    holdout = g.where(F.col("cnum") % DECON_HOLDOUT_MOD == 0).select("g").distinct()
+    return (
+        g.where(F.col("cnum") % DECON_HOLDOUT_MOD != 0)
+        .join(F.broadcast(holdout), "g")
+        .groupBy("conv_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hit_grams"))
+    )
+
+
+def _conv_decontaminate_oracle() -> str:
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K
+
+    return f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(extracted_text, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE extracted_text <> ''), '') AS conv_text
+  FROM per_turn GROUP BY conv_id
+),
+t AS (
+  SELECT conv_id, substring(conv_id, 6, 8)::BIGINT AS cnum,
+         string_split(trim(replace(conv_text, chr(10), ' ')), ' ') AS t
+  FROM conv),
+g AS (
+  SELECT conv_id, cnum,
+         unnest(list_transform(range(len(t) - {DECON_K} + 1),
+                i -> array_to_string(list_slice(t, i + 1, i + {DECON_K}), ' '))) AS g
+  FROM t WHERE len(t) >= {DECON_K}),
+holdout AS (SELECT DISTINCT g FROM g WHERE cnum % {DECON_HOLDOUT_MOD} = 0)
+SELECT c.conv_id, COUNT(DISTINCT c.g)::BIGINT AS n_hit_grams
+FROM g c JOIN holdout h ON c.g = h.g
+WHERE c.cnum % {DECON_HOLDOUT_MOD} != 0
+GROUP BY c.conv_id
+"""
+
+
 def _q_prototype_stats(spark, sf_dir):
     """Taught-alphabet stats + size-gate envelope (core_helper.clj:13-23
     analog; VERDICT r05 item 4 — the one §2 row without external
@@ -1047,5 +1120,10 @@ QUERIES = {
         _q_prototype_stats,
         _prototype_stats_oracle(),
         "taught-alphabet min/max/sum stats + size-gate envelope (core_helper.clj:13-23 analog)",
+    ),
+    "conv_decontaminate": QueryDef(
+        _q_conv_decontaminate,
+        _conv_decontaminate_oracle(),
+        "conversation-level 8-gram eval decontamination over ASSEMBLED text (extract->assemble->overlap)",
     ),
 }
