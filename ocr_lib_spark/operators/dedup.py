@@ -195,6 +195,39 @@ def _minhash_vectorized(df, text_col, id_col, n_hashes, k) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def lsh_band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Unpivot minhash signatures into the banded-LSH shuffle table
+    ``(id, band_idx, band_hash)`` — the shared front half of every LSH
+    join shape (self-join in ``lsh_candidate_pairs``; asymmetric
+    new-batch × old-corpus join in ``plans/curation.incremental_dedup``).
+
+    Every band comes from ONE pass over the signatures (a per-band
+    union would re-run the whole signature computation once per band —
+    measured 16 shuffles vs 6 for the full candidate query)."""
+    n_bands = n_hashes // band_rows
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -213,22 +246,7 @@ def lsh_candidate_pairs(
     5000-doc table) are degenerate "everything matches" signals better
     handled by exact dedup upstream. Deterministic and reproduced
     exactly by the SQL oracle (a count over the bucket key)."""
-    n_bands = n_hashes // band_rows
-    # unpivot every band from ONE pass over the signatures (a per-band
-    # union would re-run the whole signature computation once per band —
-    # measured 16 shuffles vs 6 for the full candidate query)
-    band_structs = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    allb = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    allb = lsh_band_table(signatures, id_col=id_col, n_hashes=n_hashes, band_rows=band_rows)
     if max_bucket_size is not None:
         # bucket sizes via groupBy + semi join, NOT a count-over-window:
         # a window partition materializes its whole bucket in one task,

@@ -293,6 +293,366 @@ FROM bucketed GROUP BY bucket
 """
 
 
+def exact_isqrt(x):
+    """Exact floor(√x) for a BIGINT column with x < 2⁵³: floor of the
+    IEEE-double sqrt, then two integer corrections (+1 if (s+1)² ≤ x,
+    −1 if s² > x). The double sqrt of an exactly-representable x is off
+    by at most one ulp, so floor lands within ±1 of the true isqrt and
+    one correction each way suffices; both engines run the identical
+    corrections, so cross-engine agreement is unconditional in-domain
+    (the DuckDB twin is the same three steps — see _O_TEMPERATURE_MIX)."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    return F.when(s1 * s1 > x, s1 - 1).otherwise(s1)
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (α = 0.5): per-source sampling
+    rate ∝ n_s^(α−1) = 1/√n_s, normalized so the smallest source keeps
+    everything — the standard multilingual/multi-source rebalance that
+    upweights small sources without flattening the mix entirely (the
+    α→0 limit is ``mix_rebalance``'s uniform mix; α=1 is no-op).
+
+    Exactness: rate_ppm = isqrt(n_min · PPM² ÷ n_s) with ÷ integer
+    division, and isqrt computed as floor(√x) in IEEE double followed
+    by two integer corrections (+1 if (s+1)² ≤ x, −1 if s² > x) — exact
+    for x < 2⁵³, and both engines run the identical correction, so the
+    agreement is unconditional in that domain. Guard: n_min·PPM² must
+    stay under 2⁵³ (raise above ~9·10⁶ docs in the smallest source); at
+    true corpus scale compute x in DECIMAL(38) on both engines.
+    Application is the same no-RNG content-hash keep rule as
+    ``mix_rebalance``; ``expect_kept`` = n_s·rate ÷ PPM is emitted next
+    to the applied ``n_kept`` so the hash-uniformity gap is visible.
+
+    Scale shape: one groupBy(source) census; the per-source rate table
+    (rows = #sources) broadcasts back onto the scan. No other shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        (F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % _PPM).alias(
+            "h"
+        ),
+    )
+    census = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    isqrt = exact_isqrt(F.expr(f"n_min * {_PPM}L * {_PPM}L DIV n_docs"))
+    rates = census.crossJoin(
+        F.broadcast(census.agg(F.min("n_docs").alias("n_min")))
+    ).select(
+        "source",
+        "n_docs",
+        isqrt.cast("long").alias("rate_ppm"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("rate_ppm").alias("rate_ppm"),
+            F.expr(f"first(n_docs * rate_ppm DIV {_PPM})").cast("long").alias(
+                "expect_kept"
+            ),
+            F.sum(F.when(F.col("h") < F.col("rate_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+_O_TEMPERATURE_MIX = f"""
+WITH d AS (
+  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT % {_PPM} AS h
+  FROM documents),
+census AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY source),
+r1 AS (
+  SELECT source, n_docs,
+         ((SELECT MIN(n_docs) FROM census) * {_PPM}::BIGINT * {_PPM}::BIGINT
+          // n_docs) AS x
+  FROM census),
+r2 AS (SELECT *, CAST(FLOOR(SQRT(x::DOUBLE)) AS BIGINT) AS s0 FROM r1),
+r3 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 ELSE s0 END AS s1 FROM r2),
+rates AS (
+  SELECT source, n_docs,
+         CASE WHEN s1 * s1 > x THEN s1 - 1 ELSE s1 END::BIGINT AS rate_ppm
+  FROM r3)
+SELECT r.source, r.n_docs, r.rate_ppm,
+       (r.n_docs * r.rate_ppm // {_PPM})::BIGINT AS expect_kept,
+       SUM(CASE WHEN d.h < r.rate_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM d JOIN rates r ON d.source = r.source
+GROUP BY r.source, r.n_docs, r.rate_ppm
+"""
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Cluster-collapse with the PRODUCTION keep rule: within each
+    verified near-dup cluster keep the highest-quality member (ties →
+    lowest doc_id), not the lowest-id member. ``near_dup_clusters``'s
+    keep_id = cluster min-label is the algorithmically convenient
+    canonical; a real pipeline keeps the best page of the duplicate
+    set (longest, richest) and drops the truncated mirrors. Composes
+    two independently-gated operators: the transitive-closure cluster
+    table × ``quality_score``.
+
+    Scale shape: the member table is O(duplicates), not corpus-size;
+    argmax is two groupBy passes on cluster_id (max-quality census,
+    then min-id among the maximal) — deliberately NOT a row_number
+    window partitioned by cluster label (a mega-cluster would
+    materialize in one window task; the groupBy partial-aggregates
+    map-side). The member frame is lazily checkpointed so the cluster
+    closure runs once, not once per consumer branch."""
+    from ocr_lib_spark.functions.text import quality_score
+    from ocr_lib_spark.plans.textops import _near_dup_clusters
+
+    q = _docs(spark, sf_dir).select(
+        "doc_id", quality_score("text").cast("long").alias("q")
+    )
+    m = (
+        _near_dup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .join(q, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    best = m.groupBy("cluster_id").agg(
+        F.max("q").alias("best_q"), F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        m.join(best, "cluster_id")
+        .where(F.col("q") == F.col("best_q"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_best_id"),
+            F.min("best_q").cast("long").alias("best_q"),
+            F.min("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def _dedup_keep_best_oracle() -> str:
+    from ocr_lib_spark.plans.textops import _near_dup_verified_oracle
+
+    return f"""
+WITH RECURSIVE vp AS ({_near_dup_verified_oracle()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         (least(CAST(FLOOR(length(text) / 10) AS BIGINT), 40)
+          + least(len(string_split(trim(text), ' ')), 30)::BIGINT
+          + least(len(list_distinct(string_split(trim(text), ' '))) * 2, 30)::BIGINT
+         ) AS q
+  FROM documents),
+m AS (SELECT lab.doc_id, lab.cluster_id, q.q FROM lab JOIN q ON lab.doc_id = q.doc_id),
+best AS (
+  SELECT cluster_id, MAX(q) AS best_q, COUNT(*)::BIGINT AS n_members
+  FROM m GROUP BY cluster_id)
+SELECT m.cluster_id,
+       MIN(m.doc_id)::BIGINT AS keep_best_id,
+       MIN(best.best_q)::BIGINT AS best_q,
+       MIN(best.n_members)::BIGINT AS n_members
+FROM m JOIN best ON m.cluster_id = best.cluster_id
+WHERE m.q = best.best_q
+GROUP BY m.cluster_id
+"""
+
+
+#: incremental split: doc_id % INC_MOD == INC_NEW_RES is "today's batch"
+INC_MOD = 10
+INC_NEW_RES = 7
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental (new-batch × old-corpus) dedup — the shape a daily
+    crawl ingest actually runs at 100 TB: the standing corpus is never
+    re-paired against itself; only the new batch probes it. Tier 1:
+    exact — new digests left-join the old corpus's distinct-digest
+    table (at scale that table is a precomputed bucketed artifact; here
+    both sides derive from one scan). Tier 2: near — minhash band table
+    (shared ``lsh_band_table`` front half), split into sides, and the
+    asymmetric new×old bucket join replaces ``lsh_candidate_pairs``'s
+    self-join, so candidate count is bounded by |new| · bucket-size,
+    never |corpus|². Hot-bucket cap applies to the OLD side census
+    (groupBy + semi-join, not count-over-window — mega-buckets must not
+    materialize in one task). Candidates verify with the exact
+    char-shingle Jaccard ≥ τ in pure Catalyst (bounded candidate set —
+    no kernel needed). Within-batch (new×new) duplicates are exact
+    dedup's job upstream and deliberately out of scope here.
+
+    Verdict per new doc: 'exact' (digest seen before) beats 'near'
+    (≥1 verified neighbor) beats 'novel'; match_id = matched old id
+    (min), −1 for novel. The near tier still reports n_near_matches for
+    exact dups — an exact mirror usually also near-matches its
+    neighborhood, and the census is the dashboard number."""
+    from ocr_lib_spark.functions.text import char_shingles
+    from ocr_lib_spark.operators.dedup import lsh_band_table, minhash_signatures
+    from ocr_lib_spark.plans.textops import (
+        N_HASHES,
+        NEAR_DUP_BAND_ROWS,
+        NEAR_DUP_JACCARD_T,
+        NEAR_DUP_MAX_BUCKET,
+        SHINGLE_K,
+    )
+
+    d = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % INC_MOD) == INC_NEW_RES
+    dg = d.select("doc_id", F.md5("text").alias("dig"), is_new.alias("is_new"))
+    old_dig = (
+        dg.where(~F.col("is_new"))
+        .groupBy("dig")
+        .agg(F.min("doc_id").alias("exact_match_id"))
+    )
+    exact = (
+        dg.where("is_new")
+        .select("doc_id", "dig")
+        .join(old_dig, "dig", "left")
+        .select("doc_id", "exact_match_id")
+    )
+
+    sig = minhash_signatures(d, n_hashes=N_HASHES, k=SHINGLE_K)
+    bands = lsh_band_table(
+        sig, n_hashes=N_HASHES, band_rows=NEAR_DUP_BAND_ROWS
+    ).withColumn("is_new", (F.col("doc_id") % INC_MOD) == INC_NEW_RES)
+    # one materialization: the old-side census, the old-side probe and
+    # the new-side probe all read these narrow blocks, so the signature
+    # kernel runs once (diverging exchanges would re-run it per branch)
+    bands = bands.localCheckpoint(eager=False)
+    old_b = bands.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+    )
+    old_ok = (
+        old_b.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("__bsz"))
+        .where(F.col("__bsz") <= NEAR_DUP_MAX_BUCKET)
+        .select("band_idx", "band_hash")
+    )
+    cand = (
+        bands.where("is_new")
+        .select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+        .join(
+            old_b.join(old_ok, ["band_idx", "band_hash"], "left_semi"),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = d.select("doc_id", char_shingles("text", k=SHINGLE_K).alias("s"))
+    ver = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_id"), F.col("s").alias("sa")),
+            "new_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("old_id"), F.col("s").alias("sb")),
+            "old_id",
+        )
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .where(F.col("jac") >= NEAR_DUP_JACCARD_T)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").alias("near_match_id"),
+            F.count("*").cast("long").alias("n_near_matches"),
+        )
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    return exact.join(ver, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact"))
+        .when(F.col("near_match_id").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+        F.coalesce("exact_match_id", "near_match_id", F.lit(-1))
+        .cast("long")
+        .alias("match_id"),
+        F.coalesce("n_near_matches", F.lit(0)).cast("long").alias("n_near_matches"),
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    from ocr_lib_spark.plans.textops import (
+        N_HASHES,
+        NEAR_DUP_BAND_ROWS,
+        NEAR_DUP_JACCARD_T,
+        NEAR_DUP_MAX_BUCKET,
+        SHINGLE_K,
+        _minhash_sql_mins,
+    )
+
+    n_bands = N_HASHES // NEAR_DUP_BAND_ROWS
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, %d AS band_idx, md5(%s) AS band_hash FROM sig"
+        % (
+            b,
+            " || '|' || ".join(
+                f"h{b * NEAR_DUP_BAND_ROWS + r}::VARCHAR"
+                for r in range(NEAR_DUP_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH dg AS (
+  SELECT doc_id, md5(text) AS dig, (doc_id % {INC_MOD} = {INC_NEW_RES}) AS is_new
+  FROM documents),
+old_dig AS (
+  SELECT dig, MIN(doc_id) AS exact_match_id FROM dg WHERE NOT is_new GROUP BY dig),
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS x FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                               i -> substring(text, i, {SHINGLE_K})))) AS s
+    FROM documents)),
+sig AS (
+  SELECT doc_id, {_minhash_sql_mins()}
+  FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+old_b AS (
+  SELECT doc_id AS old_id, band_idx, band_hash FROM bands
+  WHERE doc_id % {INC_MOD} != {INC_NEW_RES}),
+old_ok AS (
+  SELECT band_idx, band_hash FROM old_b
+  GROUP BY band_idx, band_hash HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.old_id
+  FROM bands n
+  JOIN old_b o ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  JOIN old_ok k ON o.band_idx = k.band_idx AND o.band_hash = k.band_hash
+  WHERE n.doc_id % {INC_MOD} = {INC_NEW_RES}),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                      i -> substring(text, i, {SHINGLE_K}))) AS s
+  FROM documents),
+ver AS (
+  SELECT new_id, MIN(old_id) AS near_match_id, COUNT(*)::BIGINT AS n_near_matches
+  FROM (
+    SELECT c.new_id, c.old_id,
+           len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+    FROM cand c JOIN shs x ON x.doc_id = c.new_id JOIN shs y ON y.doc_id = c.old_id)
+  WHERE jac >= {NEAR_DUP_JACCARD_T}
+  GROUP BY new_id)
+SELECT n.doc_id,
+       CASE WHEN o.exact_match_id IS NOT NULL THEN 'exact'
+            WHEN v.near_match_id IS NOT NULL THEN 'near'
+            ELSE 'novel' END AS verdict,
+       COALESCE(o.exact_match_id, v.near_match_id, -1)::BIGINT AS match_id,
+       COALESCE(v.n_near_matches, 0)::BIGINT AS n_near_matches
+FROM dg n
+LEFT JOIN old_dig o ON n.dig = o.dig
+LEFT JOIN ver v ON v.new_id = n.doc_id
+WHERE n.is_new
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -308,5 +668,20 @@ QUERIES = {
         _q_quality_curriculum,
         _O_QUALITY_CURRICULUM,
         "exact quality-decile census via histogram order statistics (no global sort)",
+    ),
+    "temperature_mix": QueryDef(
+        _q_temperature_mix,
+        _O_TEMPERATURE_MIX,
+        "alpha=0.5 temperature source sampling via exact integer sqrt + hash keep rule",
+    ),
+    "dedup_keep_best": QueryDef(
+        _q_dedup_keep_best,
+        _dedup_keep_best_oracle(),
+        "near-dup cluster collapse with keep-highest-quality rule (production keep rule)",
+    ),
+    "incremental_dedup": QueryDef(
+        _q_incremental_dedup,
+        _incremental_dedup_oracle(),
+        "new-batch x old-corpus incremental dedup: digest tier + asymmetric LSH tier",
     ),
 }

@@ -1,0 +1,176 @@
+"""Semantic invariants for the round-6 curation suite
+(plans/curation.py + the conversation-level decontamination gate).
+
+Oracle equality for every query is driver-gated (test_driver_contract /
+CORRECTNESS_r*); these tests pin the SEMANTICS the oracle equality
+alone can't distinguish — conservation laws, keep-rule membership,
+split hygiene — on the sf0.001 tables.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from ocr_lib_spark.plans import load
+
+    return load(spark, SF, "documents")
+
+
+def test_ngram_novelty_conserves_first_occurrences(spark, docs):
+    from ocr_lib_spark.plans.curation import NOVELTY_K, _q_ngram_novelty
+
+    out = _q_ngram_novelty(spark, SF)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc surfaces, even short ones
+    for r in rows:
+        assert 0 <= r.n_first_here <= r.n_grams_distinct
+        if r.n_grams_distinct:
+            assert r.novelty_ppm == r.n_first_here * 1_000_000 // r.n_grams_distinct
+        else:
+            assert r.novelty_ppm == 0
+    # conservation: every distinct gram in the corpus is "first" exactly once
+    toks = F.split(F.trim("text"), " ")
+    grams = F.expr(
+        f"CASE WHEN size(t) >= {NOVELTY_K} THEN "
+        f"transform(sequence(0, cast(size(t) as int) - {NOVELTY_K}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {NOVELTY_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    n_corpus_grams = (
+        docs.select(toks.alias("t"))
+        .select(F.explode(grams).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_first_here for r in rows) == n_corpus_grams
+    # docs shorter than K tokens report zeros, not nulls
+    short = [r for r in rows if r.n_grams_distinct == 0]
+    assert all(r.n_first_here == 0 and r.novelty_ppm == 0 for r in short)
+
+
+def test_mix_rebalance_keeps_all_of_smallest_source(spark):
+    from ocr_lib_spark.plans.curation import _q_mix_rebalance
+
+    rows = _q_mix_rebalance(spark, SF).collect()
+    keep_n = min(r.n_docs for r in rows)
+    for r in rows:
+        assert r.keep_n == keep_n
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.n_docs == keep_n:  # the binding source is kept wholesale
+            assert r.rate_ppm == 1_000_000 and r.n_kept == r.n_docs
+
+
+def test_quality_curriculum_buckets_partition_the_corpus(spark, docs):
+    from ocr_lib_spark.plans.curation import _q_quality_curriculum
+
+    rows = sorted(_q_quality_curriculum(spark, SF).collect(), key=lambda r: r.bucket)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(0 <= r.bucket <= 9 for r in rows)
+    assert len(rows) >= 2  # the synthetic corpus is not single-score
+    for r in rows:
+        assert r.min_score <= r.max_score
+    for lo, hi in zip(rows, rows[1:]):  # score ranges are disjoint, ordered
+        assert lo.max_score < hi.min_score
+
+
+def test_conv_decontaminate_excludes_holdout_and_reports_hits(spark):
+    from ocr_lib_spark.plans.extraction import _q_conv_decontaminate
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD
+
+    rows = _q_conv_decontaminate(spark, SF).collect()
+    assert rows  # the synthetic corpus does leak grams across convs
+    for r in rows:
+        assert int(r.conv_id[5:13]) % DECON_HOLDOUT_MOD != 0
+        assert r.n_hit_grams >= 1
+
+
+def test_exact_isqrt_matches_math_isqrt_on_adversarial_values(spark):
+    from ocr_lib_spark.plans.curation import exact_isqrt
+
+    xs = [0, 1, 2, 3, 4, 8, 9, 10, 999999, 1000000, 10**12]
+    for s in (10**6, 94906265, 2**26 - 1):  # incl. isqrt(2^53) boundary zone
+        xs += [s * s - 1, s * s, s * s + 1]
+    xs += [2**52, 2**53 - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.x: r.s for r in df.select("x", exact_isqrt(F.col("x")).alias("s")).collect()}
+    for x in xs:
+        assert got[x] == math.isqrt(x), f"isqrt({x})"
+
+
+def test_temperature_mix_rates_monotone_and_normalized(spark):
+    from ocr_lib_spark.plans.curation import _q_temperature_mix
+
+    rows = _q_temperature_mix(spark, SF).collect()
+    n_min = min(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.expect_kept == r.n_docs * r.rate_ppm // 1_000_000
+        if r.n_docs == n_min:
+            assert r.rate_ppm == 1_000_000  # smallest source fully kept
+        # alpha=0.5: rate^2 * n_s ~= PPM^2 * n_min (integer floors only)
+        assert r.rate_ppm**2 * r.n_docs <= 1_000_000**2 * n_min
+        assert (r.rate_ppm + 1) ** 2 * r.n_docs > 1_000_000**2 * n_min - r.n_docs
+    by_n = sorted(rows, key=lambda r: (r.n_docs, -r.rate_ppm))
+    for a, b in zip(by_n, by_n[1:]):  # bigger source -> rate no larger
+        assert b.rate_ppm <= a.rate_ppm
+
+
+def test_dedup_keep_best_picks_max_quality_member(spark):
+    from ocr_lib_spark.functions.text import quality_score
+    from ocr_lib_spark.plans import load
+    from ocr_lib_spark.plans.curation import _q_dedup_keep_best
+    from ocr_lib_spark.plans.textops import _near_dup_clusters
+
+    kept = {r.cluster_id: r for r in _q_dedup_keep_best(spark, SF).collect()}
+    assert kept
+    q = {
+        r.doc_id: r.q
+        for r in load(spark, SF, "documents")
+        .select("doc_id", quality_score("text").cast("long").alias("q"))
+        .collect()
+    }
+    members: dict = {}
+    for r in _near_dup_clusters(spark, SF).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(kept) == set(members)
+    for cid, r in kept.items():
+        ms = members[cid]
+        assert r.n_members == len(ms) >= 2
+        assert r.keep_best_id in ms  # the keep rule picks a real member
+        best = max(q[m] for m in ms)
+        assert r.best_q == best and q[r.keep_best_id] == best
+        # deterministic tie-break: lowest id among the maximal-quality
+        assert r.keep_best_id == min(m for m in ms if q[m] == best)
+
+
+def test_incremental_dedup_split_hygiene_and_verdicts(spark, docs):
+    from ocr_lib_spark.plans.curation import INC_MOD, INC_NEW_RES, _q_incremental_dedup
+
+    rows = _q_incremental_dedup(spark, SF).collect()
+    n_new = docs.where(F.col("doc_id") % INC_MOD == INC_NEW_RES).count()
+    assert len(rows) == n_new  # every new-batch doc gets a verdict
+    text = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        assert r.doc_id % INC_MOD == INC_NEW_RES
+        if r.verdict == "exact":
+            assert r.match_id % INC_MOD != INC_NEW_RES  # matched an OLD doc
+            assert text[r.match_id] == text[r.doc_id]
+        elif r.verdict == "near":
+            assert r.match_id % INC_MOD != INC_NEW_RES
+            assert r.n_near_matches >= 1
+        else:
+            assert r.verdict == "novel"
+            assert r.match_id == -1 and r.n_near_matches == 0
+    # split is non-trivial at this sf: both dup and novel verdicts occur
+    # (sf0.001's 5-doc batch has near+novel; exact dups appear at sf0.01+)
+    kinds = {r.verdict for r in rows}
+    assert "novel" in kinds and kinds & {"exact", "near"}
