@@ -653,6 +653,119 @@ WHERE n.is_new
 """
 
 
+def _q_segment_scrub(spark, sf_dir):
+    """Segment-level scrub WITH reconstruction — the C4/CCNet transform
+    ``segment_dedup`` only censuses: drop every non-first occurrence of
+    each SEG_K-word segment corpus-wide and rebuild the document from
+    its surviving segments (+ the sub-segment tail, always kept).
+    Output text is defined as the single-space rejoin of the kept token
+    stream, so the transform is closed-form on both engines regardless
+    of source whitespace.
+
+    Scale shape mirrors ``segment_dedup`` (same keeper = groupBy(h)
+    MIN(struct) — no window over the hash key, template segments are
+    the hot case) plus one groupBy(doc_id) rebuild. The per-doc
+    collect_list is bounded by segments-per-document (~n_tokens/SEG_K
+    of a bounded web document), not by anything corpus-sized — the
+    document analog of the conversation assembler's bounded chunks.
+    The segment table is lazily checkpointed: keeper census and join
+    probe read the same materialization."""
+    from ocr_lib_spark.plans.textops import SEG_K
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    seg = (
+        t.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {SEG_K} THEN "
+                    f"transform(sequence(0, size(toks) div {SEG_K} - 1), "
+                    f"i -> concat_ws(' ', slice(toks, i * {SEG_K} + 1, {SEG_K}))) "
+                    f"ELSE cast(array() as array<string>) END"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            "seg",
+            F.md5("seg").alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keeper = seg.groupBy("h").agg(F.min(F.struct("doc_id", "seg_idx")).alias("k"))
+    kept_flag = (
+        (F.col("doc_id") == F.col("k.doc_id"))
+        & (F.col("seg_idx") == F.col("k.seg_idx"))
+    )
+    per = (
+        seg.join(keeper, "h")
+        .select("doc_id", "seg_idx", "seg", kept_flag.alias("kept"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept_segments"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list("
+                    "CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"
+                ),
+            ).alias("body"),
+        )
+    )
+    tail = F.expr(
+        f"concat_ws(' ', slice(toks, (size(toks) div {SEG_K}) * {SEG_K} + 1, "
+        f"size(toks) % {SEG_K}))"
+    )
+    return (
+        t.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.trim(F.concat_ws(" ", F.coalesce("body", F.lit("")), tail)).alias(
+                "scrubbed_text"
+            ),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_kept_segments", F.lit(0))
+            .cast("long")
+            .alias("n_kept_segments"),
+        )
+    )
+
+
+def _segment_scrub_oracle() -> str:
+    from ocr_lib_spark.plans.textops import SEG_K
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, unnest(range(len(toks) // {SEG_K}))::INT AS seg_idx, toks
+  FROM t WHERE len(toks) >= {SEG_K}),
+sh AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(toks, seg_idx * {SEG_K} + 1, seg_idx * {SEG_K} + {SEG_K}), ' ') AS seg
+  FROM seg),
+r AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+  FROM sh),
+per AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_segments,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept_segments,
+         COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS body
+  FROM r GROUP BY doc_id)
+SELECT t.doc_id,
+       trim(COALESCE(per.body, '') || ' ' ||
+            COALESCE(array_to_string(list_slice(toks, (len(toks) // {SEG_K}) * {SEG_K} + 1, len(toks)), ' '), '')) AS scrubbed_text,
+       COALESCE(per.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(per.n_kept_segments, 0)::BIGINT AS n_kept_segments
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -683,5 +796,10 @@ QUERIES = {
         _q_incremental_dedup,
         _incremental_dedup_oracle(),
         "new-batch x old-corpus incremental dedup: digest tier + asymmetric LSH tier",
+    ),
+    "segment_scrub": QueryDef(
+        _q_segment_scrub,
+        _segment_scrub_oracle(),
+        "C4-style segment scrub with document reconstruction (keep first occurrence corpus-wide)",
     ),
 }

@@ -152,6 +152,32 @@ def test_dedup_keep_best_picks_max_quality_member(spark):
         assert r.keep_best_id == min(m for m in ms if q[m] == best)
 
 
+def test_segment_scrub_reconstruction_invariants(spark, docs):
+    from ocr_lib_spark.plans.curation import _q_segment_scrub
+    from ocr_lib_spark.plans.textops import SEG_K
+
+    out = {r.doc_id: r for r in _q_segment_scrub(spark, SF).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(out) == set(src)
+    for doc_id, r in out.items():
+        toks = src[doc_id].strip().split(" ")
+        n_full = len(toks) // SEG_K if len(toks) >= SEG_K else 0
+        assert r.n_segments == n_full
+        assert 0 <= r.n_kept_segments <= r.n_segments
+        # token conservation: kept segments + the always-kept tail
+        tail_len = len(toks) - n_full * SEG_K
+        got_toks = r.scrubbed_text.split(" ") if r.scrubbed_text else []
+        assert len(got_toks) == r.n_kept_segments * SEG_K + tail_len
+        # a doc losing nothing reconstructs to the exact token rejoin
+        if r.n_kept_segments == r.n_segments:
+            assert r.scrubbed_text == " ".join(toks)
+        # kept segments are a subsequence of the original token stream
+        orig = " ".join(toks)
+        assert all(seg in orig for seg in [" ".join(got_toks[i * SEG_K:(i + 1) * SEG_K])
+                                           for i in range(r.n_kept_segments)])
+    assert any(r.n_kept_segments < r.n_segments for r in out.values())
+
+
 def test_incremental_dedup_split_hygiene_and_verdicts(spark, docs):
     from ocr_lib_spark.plans.curation import INC_MOD, INC_NEW_RES, _q_incremental_dedup
 
