@@ -155,7 +155,13 @@ def _q_mix_rebalance(spark, sf_dir):
             "h"
         ),
     )
-    census = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    census = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        # the #sources-row census feeds both the rate table and the
+        # scalar min; materialize once so the corpus groupBy runs once
+        .localCheckpoint(eager=False)
+    )
     rates = census.crossJoin(
         census.agg(F.min("n_docs").alias("keep_n"))
     ).select(
@@ -332,7 +338,13 @@ def _q_temperature_mix(spark, sf_dir):
             "h"
         ),
     )
-    census = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    census = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        # the #sources-row census feeds both the rate table and the
+        # scalar min; materialize once so the corpus groupBy runs once
+        .localCheckpoint(eager=False)
+    )
     isqrt = exact_isqrt(F.expr(f"n_min * {_PPM}L * {_PPM}L DIV n_docs"))
     rates = census.crossJoin(
         F.broadcast(census.agg(F.min("n_docs").alias("n_min")))
