@@ -113,6 +113,16 @@ HEADLINE = [
     "conv_quality_bits",  # added round 5 (conversation-level Gopher gate, composed plan)
     "conv_packing",  # added round 5 (SFT packing of assembled conversations)
     "conv_training_mix",  # added round 5 (conv-level hygiene+quality+dedup+pack, one plan)
+    "prototype_stats",  # added round 6 (taught-alphabet stats + size-gate envelope)
+    "ivf_recall",  # added round 6 (recall@k within oracle-pinned bounds)
+    "conv_decontaminate",  # added round 6 (8-gram decontamination over assembled convs)
+    "ngram_novelty",  # added round 6 (per-doc first-occurrence gram share)
+    "mix_rebalance",  # added round 6 (uniform source mix + hash keep rule)
+    "temperature_mix",  # added round 6 (alpha=0.5 mix via exact integer sqrt)
+    "quality_curriculum",  # added round 6 (decile census via score histogram)
+    "dedup_keep_best",  # added round 6 (cluster collapse, keep-highest-quality)
+    "incremental_dedup",  # added round 6 (new-batch x old-corpus digest+LSH tiers)
+    "segment_scrub",  # added round 6 (segment dedup with document reconstruction)
 ]
 
 

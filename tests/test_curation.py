@@ -92,6 +92,46 @@ def test_conv_decontaminate_excludes_holdout_and_reports_hits(spark):
         assert r.n_hit_grams >= 1
 
 
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count physical-plan nodes by their detail header '(N) <op>' —
+    the tree rendering repeats each node, the detail section lists it
+    exactly once."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}\s*$", plan, re.M))
+
+
+def test_curation_plan_shapes_hold(spark):
+    """Pin the physical-plan properties the scale notes claim: no
+    corpus-partitioned Window anywhere in the suite (the one Window —
+    quality_curriculum's cumulative walk — runs over the ppm-score
+    HISTOGRAM, bounded by domain size), and checkpoint reuse counts
+    that prove the expensive upstream (gram pairs / LSH bands)
+    materializes once instead of once per consumer branch."""
+    from ocr_lib_spark.plans import curation
+
+    p = _plan(spark, curation._q_ngram_novelty(spark, SF))
+    assert "Window" not in p
+    assert _n_nodes(p, "Scan ExistingRDD") == 2  # pairs: min-owner agg + join back
+
+    p = _plan(spark, curation._q_quality_curriculum(spark, SF))
+    assert _n_nodes(p, "Window") == 1  # the domain-bounded histogram walk only
+
+    p = _plan(spark, curation._q_incremental_dedup(spark, SF))
+    assert "Window" not in p
+    assert _n_nodes(p, "Scan ExistingRDD") == 3  # bands: old census, old probe, new probe
+
+    for q in (curation._q_mix_rebalance, curation._q_temperature_mix,
+              curation._q_segment_scrub, curation._q_dedup_keep_best):
+        assert "Window" not in _plan(spark, q(spark, SF))
+
+
 def test_exact_isqrt_matches_math_isqrt_on_adversarial_values(spark):
     from ocr_lib_spark.plans.curation import exact_isqrt
 
