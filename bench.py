@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_keep_best",  # added round 6 (cluster collapse, keep-highest-quality)
     "incremental_dedup",  # added round 6 (new-batch x old-corpus digest+LSH tiers)
     "segment_scrub",  # added round 6 (segment dedup with document reconstruction)
+    "shard_manifest",  # added round 6 (per-shard census + XOR content checksum)
 ]
 
 

@@ -778,6 +778,67 @@ FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 """
 
 
+def _q_shard_manifest(spark, sf_dir):
+    """Output-shard manifest — the integrity record the write side of a
+    training-data pipeline emits next to each shard (the durable-sink
+    completion of the packing story; ``token_packing`` assigns the same
+    ``doc_id % PACK_SHARDS`` shards). Per shard: document census, total
+    whitespace + BPE-ish token budgets, id range, and an
+    ORDER-INDEPENDENT content checksum = bit_xor of each doc's 60-bit
+    digest hash. XOR (not md5-of-sorted-digests) is the deliberate
+    scale choice: it is map-side combinable with O(1) state per agg row
+    — a digest-of-sorted-digests would collect corpus/shards strings
+    into one task. Any dropped, duplicated, or altered document flips
+    the checksum, which is what a re-run / resume compares against.
+
+    Scale shape: ONE groupBy(shard) over a pure-codegen projection;
+    every aggregate is partial-aggregatable. No window, no collect, no
+    second pass."""
+    from ocr_lib_spark.functions.text import bpe_token_count, token_count
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        token_count("text").cast("long").alias("ws"),
+        bpe_token_count("text").cast("long").alias("bpe"),
+        F.conv(F.substring(F.md5(F.md5("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("dh"),
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_ws_tokens"),
+        F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.expr("bit_xor(dh)").cast("long").alias("content_xor"),
+    )
+
+
+def _shard_manifest_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(trim(text), ' ')) END::BIGINT AS ws,
+         len(regexp_extract_all(text, '{bpe_sql}'))::BIGINT AS bpe,
+         ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS dh
+  FROM documents)
+SELECT shard, COUNT(*)::BIGINT AS n_docs,
+       SUM(ws)::BIGINT AS n_ws_tokens,
+       SUM(bpe)::BIGINT AS n_bpe_tokens,
+       MIN(doc_id)::BIGINT AS min_doc_id,
+       MAX(doc_id)::BIGINT AS max_doc_id,
+       BIT_XOR(dh)::BIGINT AS content_xor
+FROM d GROUP BY shard
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -813,5 +874,10 @@ QUERIES = {
         _q_segment_scrub,
         _segment_scrub_oracle(),
         "C4-style segment scrub with document reconstruction (keep first occurrence corpus-wide)",
+    ),
+    "shard_manifest": QueryDef(
+        _q_shard_manifest,
+        _shard_manifest_oracle(),
+        "output-shard manifest: census + order-independent XOR content checksum per shard",
     ),
 }

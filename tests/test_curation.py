@@ -218,6 +218,33 @@ def test_segment_scrub_reconstruction_invariants(spark, docs):
     assert any(r.n_kept_segments < r.n_segments for r in out.values())
 
 
+def test_shard_manifest_checksum_independent_recompute(spark, docs):
+    import hashlib
+
+    from ocr_lib_spark.plans.curation import _q_shard_manifest
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    out = {r.shard: r for r in _q_shard_manifest(spark, SF).collect()}
+    exp: dict = {}
+    for r in docs.collect():
+        dig = hashlib.md5(
+            hashlib.md5(r.text.encode()).hexdigest().encode()
+        ).hexdigest()
+        shard = r.doc_id % PACK_SHARDS
+        e = exp.setdefault(shard, {"n": 0, "xor": 0, "ids": []})
+        e["n"] += 1
+        e["xor"] ^= int(dig[:15], 16)
+        e["ids"].append(r.doc_id)
+    assert set(out) == set(exp)
+    assert sum(r.n_docs for r in out.values()) == docs.count()
+    for shard, e in exp.items():
+        r = out[shard]
+        assert r.n_docs == e["n"]
+        assert r.content_xor == e["xor"]  # any doc change/drop/dup flips this
+        assert r.min_doc_id == min(e["ids"]) and r.max_doc_id == max(e["ids"])
+        assert r.n_ws_tokens > 0 and r.n_bpe_tokens >= r.n_ws_tokens
+
+
 def test_incremental_dedup_split_hygiene_and_verdicts(spark, docs):
     from ocr_lib_spark.plans.curation import INC_MOD, INC_NEW_RES, _q_incremental_dedup
 
