@@ -839,6 +839,88 @@ FROM d GROUP BY shard
 """
 
 
+# --- semantic (embedding-cosine) eval decontamination ------------------------
+# The vector-space complement of the 8-gram `decontaminate` gate
+# (plans/textops.py): benchmark questions paraphrased into training
+# data share no 8-gram but sit close in embedding space. Holdout =
+# vec_id % SEMDECON_MOD == 0 (deterministic fixture subset standing in
+# for an eval suite, the same convention as DECON_HOLDOUT_MOD); corpus
+# = the rest. Same two-phase shape as embedding_near_dup: axis-sign
+# LSH bucket prunes the corpus×holdout product to an equi-join, exact
+# cosine (rounded BEFORE thresholding so summation-order ulps can't
+# flip threshold-edge pairs) verifies.
+
+SEMDECON_MOD = 13
+SEMDECON_BITS = 8
+#: synthetic embeddings have no true near-dups (max in-bucket cosine
+#: ~0.43) — this exercises the semantics on a non-trivial hit set; the
+#: production default for real eval contamination is ~0.9
+SEMDECON_T = 0.20
+
+
+def _q_semantic_decontaminate(spark, sf_dir):
+    """Per corpus vector: how many holdout (eval-suite) vectors are
+    cosine-similar above SEMDECON_T, and the closest such cosine.
+
+    Scale shape: the holdout side is SMALL by nature (eval suites are
+    thousands of rows against a trillion-row corpus) — it broadcasts;
+    the corpus side streams through the bucket equi-join with no
+    shuffle of its own. The bucket key bounds candidates per corpus row
+    to holdout vectors in ONE of 2**SEMDECON_BITS buckets, so per-row
+    work is |holdout| / 2**bits in expectation, independent of corpus
+    size. Ref analog: check-matching-fn's broadcast prototype match
+    (core.clj:1020-1069) with the prototype set replaced by the eval
+    suite."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.lit(0)
+    for i in range(SEMDECON_BITS):
+        bucket = bucket + F.when(F.element_at("v", i + 1) > 0, F.lit(2**i)).otherwise(0)
+    e = e.withColumn("bucket", bucket.cast("int"))
+    holdout = e.where(F.col("vec_id") % SEMDECON_MOD == 0)
+    corpus = e.where(F.col("vec_id") % SEMDECON_MOD != 0)
+    a, h = corpus.alias("a"), holdout.alias("h")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("h.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nh = F.sqrt(F.aggregate(F.col("h.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cosine = F.round(dot / (na * nh), 6)
+    return (
+        a.join(F.broadcast(h), F.col("a.bucket") == F.col("h.bucket"))
+        .select(F.col("a.vec_id").alias("vec_id"), cosine.alias("c"))
+        .where(F.col("c") >= SEMDECON_T)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("c").alias("max_cosine"),
+        )
+    )
+
+
+def _semantic_decontaminate_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(SEMDECON_BITS)
+    )
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket})::INT AS bucket
+  FROM embeddings),
+hits AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.v, h.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(h.v, h.v))), 6) AS c
+  FROM wb a JOIN wb h ON a.bucket = h.bucket
+  WHERE a.vec_id % {SEMDECON_MOD} != 0 AND h.vec_id % {SEMDECON_MOD} = 0)
+SELECT vec_id, COUNT(*)::BIGINT AS n_eval_hits, MAX(c) AS max_cosine
+FROM hits WHERE c >= {SEMDECON_T} GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -879,5 +961,10 @@ QUERIES = {
         _q_shard_manifest,
         _shard_manifest_oracle(),
         "output-shard manifest: census + order-independent XOR content checksum per shard",
+    ),
+    "semantic_decontaminate": QueryDef(
+        _q_semantic_decontaminate,
+        _semantic_decontaminate_oracle(),
+        "embedding-cosine eval decontamination: corpus x holdout sign-LSH join + exact verify",
     ),
 }

@@ -267,3 +267,54 @@ def test_incremental_dedup_split_hygiene_and_verdicts(spark, docs):
     # (sf0.001's 5-doc batch has near+novel; exact dups appear at sf0.01+)
     kinds = {r.verdict for r in rows}
     assert "novel" in kinds and kinds & {"exact", "near"}
+
+
+def test_semantic_decontaminate_holdout_hygiene_and_exactness(spark):
+    """semantic_decontaminate invariants oracle equality can't pin
+    alone: (1) no holdout vector ever appears in the output (the gate
+    reports CORPUS contamination, never eval-suite self-hits); (2) the
+    bucket-pruned result equals a brute-force corpus×holdout cosine
+    scan RESTRICTED to shared buckets (the prune is exact, not
+    approximate, for the axis-sign family); (3) max_cosine clears the
+    threshold for every emitted row."""
+    import numpy as np
+
+    from ocr_lib_spark.plans import load
+    from ocr_lib_spark.plans.curation import (
+        SEMDECON_BITS,
+        SEMDECON_MOD,
+        SEMDECON_T,
+        _q_semantic_decontaminate,
+    )
+
+    rows = _q_semantic_decontaminate(spark, SF).collect()
+    for r in rows:
+        assert r.vec_id % SEMDECON_MOD != 0
+        assert r.max_cosine >= SEMDECON_T
+        assert r.n_eval_hits >= 1
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, SF, "embeddings").collect()
+    }
+
+    def bucket(v):
+        return sum(2**i for i in range(SEMDECON_BITS) if v[i] > 0)
+
+    expected = {}
+    for cid, cv in emb.items():
+        if cid % SEMDECON_MOD == 0:
+            continue
+        hits = []
+        for hid, hv in emb.items():
+            if hid % SEMDECON_MOD != 0 or bucket(hv) != bucket(cv):
+                continue
+            c = round(
+                float(np.dot(cv, hv) / (np.linalg.norm(cv) * np.linalg.norm(hv))), 6
+            )
+            if c >= SEMDECON_T:
+                hits.append(c)
+        if hits:
+            expected[cid] = (len(hits), max(hits))
+    got = {r.vec_id: (r.n_eval_hits, round(r.max_cosine, 6)) for r in rows}
+    assert got == expected
