@@ -124,6 +124,8 @@ HEADLINE = [
     "incremental_dedup",  # added round 6 (new-batch x old-corpus digest+LSH tiers)
     "segment_scrub",  # added round 6 (segment dedup with document reconstruction)
     "shard_manifest",  # added round 6 (per-shard census + XOR content checksum)
+    "semantic_decontaminate",  # added round 6 (embedding-cosine eval decontamination)
+    "compaction_plan",  # added round 6 (cumulative-quota small-shard merge groups)
 ]
 
 

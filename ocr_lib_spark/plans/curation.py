@@ -839,6 +839,182 @@ FROM d GROUP BY shard
 """
 
 
+def _q_stream_incremental_dedup(spark, sf_dir):
+    """STREAM-STATIC twin of ``incremental_dedup``'s exact tier — the
+    posture a daily ingest actually deploys: today's batch arrives as a
+    STREAM of files; the standing corpus's digest table is a STATIC
+    precomputed artifact it probes. Structured Streaming's
+    stream-static join is stateless (the static side is re-planned per
+    micro-batch, no state store grows with the stream), so this holds
+    at any stream length — the state-bound complement to the stateful
+    streaming near-dup index. Verdict per new doc: 'exact' (digest in
+    the standing corpus, match_id = min old doc) or 'novel'; the near
+    tier deliberately stays batch (``incremental_dedup``) / stateful
+    streaming (``stream_near_dup``) — mixing it in here would re-derive
+    the band table per micro-batch.
+
+    Scale shape: at 100 TB the static side is a bucketed digest
+    artifact and the per-micro-batch join is a broadcast or
+    bucket-local probe; nothing here keys state on the stream. Gate
+    determinism: output rows are a pure per-row function of the input
+    (no dedup across the stream), so file replay order is irrelevant.
+
+    Ref analog: the daily re-run of read-signs-fn's load→probe split
+    (core.clj:957-997) with the probe side streamed."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"incdedup|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_incdedup_src_{tag}"
+    d = _docs(spark, sf_dir)
+    if not _Path(src, "_SUCCESS").exists():
+        d.where(F.col("doc_id") % INC_MOD == INC_NEW_RES).repartitionByRange(
+            4, "doc_id"
+        ).write.mode("overwrite").parquet(src)
+    old_dig = (
+        d.where(F.col("doc_id") % INC_MOD != INC_NEW_RES)
+        .groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").cast("long").alias("exact_match_id"))
+    )
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = (
+        sdf.select("doc_id", F.md5("text").alias("dig"))
+        .join(old_dig, "dig", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_match_id", F.lit(-1)).cast("long").alias("match_id"),
+        )
+    )
+    name = f"stream_incdedup_{tag}"
+    spark.catalog.dropTempView(name)
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _stream_incremental_dedup_oracle() -> str:
+    return f"""
+WITH old_dig AS (
+  SELECT md5(text) AS dig, MIN(doc_id)::BIGINT AS exact_match_id
+  FROM documents WHERE doc_id % {INC_MOD} != {INC_NEW_RES} GROUP BY 1)
+SELECT n.doc_id::BIGINT AS doc_id,
+       CASE WHEN o.exact_match_id IS NOT NULL THEN 'exact' ELSE 'novel' END AS verdict,
+       COALESCE(o.exact_match_id, -1)::BIGINT AS match_id
+FROM documents n LEFT JOIN old_dig o ON md5(n.text) = o.dig
+WHERE n.doc_id % {INC_MOD} = {INC_NEW_RES}
+"""
+
+
+# --- small-shard compaction planning -----------------------------------------
+# The write-side maintenance step every table format schedules (Iceberg
+# rewrite_data_files, Delta OPTIMIZE): coalesce small output shards
+# into ~target-byte merge groups. The plan rule is cumulative-quota
+# grouping over the shard census in shard-id order: group(shard) =
+# (bytes of all earlier shards) DIV target — a pure exclusive-cumsum
+# rule, so it is deterministic, order-stable, and exactly mirrorable in
+# SQL (a greedy reset-at-target fold is not); each group's fill lands
+# within one shard of target. target derives from the census itself
+# (ceil(total / COMPACT_GROUPS)) so the rule is scale-free across sf.
+
+COMPACT_GROUPS = 3
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Merge-group plan over the ``token_packing``/``shard_manifest``
+    shard layout: per group, the shards it coalesces, their doc/byte
+    census, and the fill ratio vs target in ppm.
+
+    Scale shape: ONE map-side-combinable groupBy(shard) over the corpus
+    -> a census of exactly PACK_SHARDS rows; the ordered cumsum walk
+    runs on that domain-bounded table (same bounded-by-construction
+    argument as quality_curriculum's histogram walk — shard count is a
+    layout constant, never corpus-sized), and the scalar total/target
+    ride a broadcast. No corpus-wide window or sort anywhere."""
+    from pyspark.sql import Window
+
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    census = (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = census.agg(F.sum("n_bytes").cast("long").alias("total"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_bytes",
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)).alias("cum_before"),
+            F.expr(f"(total + {COMPACT_GROUPS} - 1) DIV {COMPACT_GROUPS}").alias(
+                "target"
+            ),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_bytes",
+            "target",
+            F.expr("cum_before DIV target").cast("int").alias("grp"),
+        )
+    )
+    return planned.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.min("shard").cast("int").alias("min_shard"),
+        F.max("shard").cast("int").alias("max_shard"),
+        F.expr(f"sum(n_bytes) * {_PPM} DIV first(target)")
+        .cast("long")
+        .alias("fill_ppm"),
+    )
+
+
+def _compaction_plan_oracle() -> str:
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    return f"""
+WITH census AS (
+  SELECT (doc_id % {PACK_SHARDS})::INT AS shard,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(strlen(text))::BIGINT AS n_bytes
+  FROM documents GROUP BY 1),
+planned AS (
+  SELECT shard, n_docs, n_bytes,
+         COALESCE(SUM(n_bytes) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         (SUM(n_bytes) OVER () + {COMPACT_GROUPS} - 1) // {COMPACT_GROUPS} AS target
+  FROM census)
+SELECT (cum_before // target)::INT AS grp,
+       COUNT(*)::BIGINT AS n_shards,
+       SUM(n_docs)::BIGINT AS n_docs,
+       SUM(n_bytes)::BIGINT AS n_bytes,
+       MIN(shard)::INT AS min_shard,
+       MAX(shard)::INT AS max_shard,
+       (SUM(n_bytes) * {_PPM} // ANY_VALUE(target))::BIGINT AS fill_ppm
+FROM planned GROUP BY 1
+"""
+
+
 # --- semantic (embedding-cosine) eval decontamination ------------------------
 # The vector-space complement of the 8-gram `decontaminate` gate
 # (plans/textops.py): benchmark questions paraphrased into training
@@ -961,6 +1137,16 @@ QUERIES = {
         _q_shard_manifest,
         _shard_manifest_oracle(),
         "output-shard manifest: census + order-independent XOR content checksum per shard",
+    ),
+    "compaction_plan": QueryDef(
+        _q_compaction_plan,
+        _compaction_plan_oracle(),
+        "small-shard compaction plan: cumulative-quota merge groups over the shard census",
+    ),
+    "stream_incremental_dedup": QueryDef(
+        _q_stream_incremental_dedup,
+        _stream_incremental_dedup_oracle(),
+        "stream-static twin of incremental dedup's exact tier (stateless per-micro-batch probe)",
     ),
     "semantic_decontaminate": QueryDef(
         _q_semantic_decontaminate,

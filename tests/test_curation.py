@@ -318,3 +318,61 @@ def test_semantic_decontaminate_holdout_hygiene_and_exactness(spark):
             expected[cid] = (len(hits), max(hits))
     got = {r.vec_id: (r.n_eval_hits, round(r.max_cosine, 6)) for r in rows}
     assert got == expected
+
+
+def test_compaction_plan_groups_partition_the_shard_layout(spark, docs):
+    """compaction_plan invariants: the merge groups partition all
+    PACK_SHARDS shards into contiguous shard-id runs, conserve the
+    corpus byte/doc census exactly, and follow the cumulative-quota
+    rule (group = bytes-before DIV target) recomputed independently."""
+    from ocr_lib_spark.plans.curation import COMPACT_GROUPS, _q_compaction_plan
+    from ocr_lib_spark.plans.textops import PACK_SHARDS
+
+    rows = sorted(_q_compaction_plan(spark, SF).collect(), key=lambda r: r.grp)
+    assert sum(r.n_shards for r in rows) == PACK_SHARDS
+    assert sum(r.n_docs for r in rows) == docs.count()
+
+    # contiguous, ordered, non-overlapping shard ranges
+    edge = -1
+    for r in rows:
+        assert r.min_shard == edge + 1
+        assert r.max_shard - r.min_shard + 1 == r.n_shards
+        edge = r.max_shard
+
+    # independent recompute of the quota rule from the raw docs
+    by_shard = {}
+    for d in docs.collect():
+        sh = d.doc_id % PACK_SHARDS
+        by_shard[sh] = by_shard.get(sh, 0) + len(d.text.encode("utf-8"))
+    total = sum(by_shard.values())
+    target = -(-total // COMPACT_GROUPS)
+    cum, expect = 0, {}
+    for sh in range(PACK_SHARDS):
+        g = cum // target
+        expect[g] = expect.get(g, 0) + by_shard.get(sh, 0)
+        cum += by_shard.get(sh, 0)
+    assert {r.grp: r.n_bytes for r in rows} == expect
+    for r in rows:
+        assert r.fill_ppm == r.n_bytes * 1_000_000 // target
+
+
+def test_stream_incremental_dedup_agrees_with_batch_exact_tier(spark):
+    """The stream-static twin must reproduce the batch exact tier
+    verdict-for-verdict: same 'exact' set, same match ids; its 'novel'
+    rows are exactly the batch rows whose verdict is near-or-novel
+    (the near tier is deliberately out of the streaming probe)."""
+    from ocr_lib_spark.plans.curation import (
+        _q_incremental_dedup,
+        _q_stream_incremental_dedup,
+    )
+
+    stream = {r.doc_id: r for r in _q_stream_incremental_dedup(spark, SF).collect()}
+    batch = {r.doc_id: r for r in _q_incremental_dedup(spark, SF).collect()}
+    assert set(stream) == set(batch)
+    for did, s in stream.items():
+        b = batch[did]
+        if s.verdict == "exact":
+            assert b.verdict == "exact" and b.match_id == s.match_id
+        else:
+            assert s.verdict == "novel" and s.match_id == -1
+            assert b.verdict in ("near", "novel")
