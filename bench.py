@@ -126,6 +126,8 @@ HEADLINE = [
     "shard_manifest",  # added round 6 (per-shard census + XOR content checksum)
     "semantic_decontaminate",  # added round 6 (embedding-cosine eval decontamination)
     "compaction_plan",  # added round 6 (cumulative-quota small-shard merge groups)
+    "unigram_surprisal",  # added round 6 (integer perplexity proxy, frequency-split join)
+    "turn_response_dedup",  # added round 6 (cross-conversation assistant-response dedup)
 ]
 
 

@@ -278,6 +278,101 @@ FROM conv GROUP BY md5(conv_text)
 """
 
 
+#: derived-boilerplate rule for turn_response_dedup: assistant docs
+#: (doc_id % 3 == 1) with doc_id % BOILER_MOD == BOILER_RES answer with
+#: the fixed string. BOILER_RES ≡ 1 (mod 3) so the residue class is
+#: entirely assistant turns; BOILER_MOD = 9 puts every third assistant
+#: turn in it.
+BOILER_MOD = 9
+BOILER_RES = 4
+BOILER_TEXT = "Sure, I can help with that."
+
+
+def _q_turn_response_dedup(spark, sf_dir):
+    """Cross-conversation ASSISTANT-RESPONSE dedup — the SFT-curation
+    step between exact conv dedup (verbatim re-logs) and conv near-dup
+    (edited re-logs): assistants repeat boilerplate replies ("Sure, I
+    can help with that") across otherwise-distinct conversations, and
+    response-level dedup is what catches the resulting gradient
+    over-weighting. Extract → keep non-empty assistant turns → digest
+    the extracted text → first occurrence corpus-wide (min (conv_id,
+    turn_idx) — conv ids are zero-padded strings, so lexicographic ==
+    numeric on both engines) keeps; per conversation: assistant-turn
+    census + how many of its responses are duplicates of an earlier
+    conversation's.
+
+    Scale shape: ONE digest-keyed shuffle (groupBy MIN(struct) —
+    map-side combinable, never a window over the digest key: degenerate
+    boilerplate digests are exactly the hot case, same argument as
+    segment_dedup), join back on digest (build side is 1 row/digest),
+    one conv-keyed groupBy. Ref analog: the set-semantics dedupe of
+    conj-on-set (core.clj:341) at response granularity.
+
+    Fixture derivation (the PII-suite convention — the positive case
+    must exist and be pinned, not hoped for): every fixture text is
+    unique, so boilerplate is DERIVED in closed form on both engines —
+    assistant turns whose doc_id ≡ {BOILER_RES} (mod {BOILER_MOD})
+    respond with the fixed boilerplate string instead (doc_id
+    reconstructs exactly as turn_idx * N_CONVS + conv number; the
+    oracle keeps the native doc_id). ~1/3 of assistant turns collide,
+    so keep-first and the dup census are genuinely exercised."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    doc_id = (
+        F.col("turn_idx").cast("long") * N_CONVS
+        + F.substring("conv_id", 6, 8).cast("long")
+    )
+    text = F.when(
+        doc_id % BOILER_MOD == BOILER_RES, F.lit(BOILER_TEXT)
+    ).otherwise(F.col("extracted_text"))
+    resp = ex.where(
+        (F.col("role") == "assistant") & (F.col("extracted_text") != "")
+    ).select("conv_id", "turn_idx", F.md5(text).alias("digest"))
+    keeper = resp.groupBy("digest").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("k")
+    )
+    flags = resp.join(keeper, "digest").select(
+        "conv_id",
+        (
+            (F.col("conv_id") != F.col("k.conv_id"))
+            | (F.col("turn_idx") != F.col("k.turn_idx"))
+        )
+        .cast("long")
+        .alias("is_dup"),
+    )
+    return flags.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assistant_turns"),
+        F.sum("is_dup").cast("long").alias("n_dup_responses"),
+    )
+
+
+_ORACLE_TURN_RESPONSE_DEDUP = f"""
+WITH per_turn AS (
+  SELECT doc_id, {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+resp AS (
+  SELECT conv_id, turn_idx,
+         md5(CASE WHEN doc_id % {BOILER_MOD} = {BOILER_RES}
+                  THEN '{BOILER_TEXT}' ELSE extracted_text END) AS digest
+  FROM per_turn WHERE role = 'assistant' AND extracted_text <> ''),
+keeper AS (
+  SELECT digest, MIN(ROW(conv_id, turn_idx)) AS k FROM resp GROUP BY digest)
+SELECT r.conv_id,
+       COUNT(*)::BIGINT AS n_assistant_turns,
+       SUM(CASE WHEN ROW(r.conv_id, r.turn_idx) <> k.k THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_responses
+FROM resp r JOIN keeper k USING (digest)
+GROUP BY r.conv_id
+"""
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level NEAR-dup: extract -> assemble -> simhash the
     assembled conv_text -> banded-hamming candidate pairs + exact
@@ -1075,6 +1170,11 @@ QUERIES = {
         _q_conv_near_dup,
         _conv_near_dup_oracle(),
         "end-to-end: extract -> assemble -> simhash NEAR-dup pairs over whole conversations",
+    ),
+    "turn_response_dedup": QueryDef(
+        _q_turn_response_dedup,
+        _ORACLE_TURN_RESPONSE_DEDUP,
+        "cross-conversation assistant-response dedup (SFT boilerplate-reply census)",
     ),
     "loss_mask_spans": QueryDef(
         _q_loss_mask_spans,

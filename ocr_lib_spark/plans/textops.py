@@ -1824,6 +1824,93 @@ FROM g, tot
 """
 
 
+# --- unigram surprisal (integer perplexity-proxy quality filter) -------------
+# The CCNet/KenLM-style perplexity filter, integer-exact: per-token
+# surprisal = floor(log2(total_occurrences / token_count)) computed as
+# length(bin(total DIV count)) - 1 — bin() renders the same BIGINT to
+# the same binary string in Spark and DuckDB, so no libm log() ulp can
+# flip a score. Per doc: total surprisal bits over all token
+# occurrences and the mean in micro-bits/token. Low mean = boilerplate
+# made of corpus-common tokens; high mean = rare-token text — the same
+# axis a unigram LM's NLL ranks, with zero float drift.
+
+#: hot/tail vocabulary split for the score join-back: a token is HOT
+#: iff n_occ * SURPRISAL_HEAVY_DENOM > total_occ, so the hot set holds
+#: at most SURPRISAL_HEAVY_DENOM tokens AT ANY CORPUS SIZE (pigeonhole)
+#: and broadcasts; every tail key carries <= total/DENOM occurrences,
+#: bounding any single shuffle partition's probe load. The fixture pins
+#: 256 so BOTH paths execute on 500 docs (2**20, the production
+#: default, would classify every fixture token hot and leave the tail
+#: join untested — the narrower-fixture-knob precedent of
+#: simhash_near_dup's band width); at 10^12 tokens a production caller
+#: raises it to ~2**20 so tail partitions stay ~1e6 rows.
+SURPRISAL_HEAVY_DENOM = 256
+
+
+def _unigram_surprisal(spark, sf_dir):
+    """Per-doc unigram surprisal score; see module comment above.
+
+    Scale shape: ONE (tok, doc_id) pre-aggregate feeds everything
+    (lazily checkpointed — the exchange-reuse pattern); global token
+    counts are one combinable shuffle; the join-back splits the vocab
+    into a BROADCAST hot set (bounded at SURPRISAL_HEAVY_DENOM rows by
+    pigeonhole — exactly the keys that would skew a token-keyed
+    shuffle) and a tail equi-join whose per-key probe load is bounded
+    by total/DENOM — the frequency-split join pattern; no salting
+    needed because the skewed keys never enter the shuffle at all.
+    Ref analog: check-matching-fn's broadcast score table
+    (core.clj:1020-1069) keyed by token frequency class."""
+    t = _toks_nonempty(spark, sf_dir)
+    pd_counts = (
+        t.groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    occ = pd_counts.groupBy("tok").agg(F.sum("c").cast("long").alias("n_occ"))
+    tot = occ.agg(F.sum("n_occ").cast("long").alias("total_occ"))
+    scored = occ.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "n_occ",
+        "total_occ",
+        (F.length(F.expr("bin(total_occ DIV n_occ)")) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    hot = scored.where(
+        F.col("n_occ") * SURPRISAL_HEAVY_DENOM > F.col("total_occ")
+    ).select("tok", "bits")
+    tail = scored.where(
+        F.col("n_occ") * SURPRISAL_HEAVY_DENOM <= F.col("total_occ")
+    ).select("tok", "bits")
+    joined = pd_counts.join(F.broadcast(hot), "tok").unionByName(
+        pd_counts.join(tail, "tok")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("bits")).cast("long").alias("sum_bits"),
+        F.expr("sum(c * bits) * 1000000 DIV sum(c)")
+        .cast("long")
+        .alias("mean_ubits"),
+    )
+
+
+_O_UNIGRAM_SURPRISAL = f"""
+WITH {_O_TOKS_CTE},
+pd AS (SELECT tok, doc_id, COUNT(*) AS c FROM tk GROUP BY tok, doc_id),
+occ AS (SELECT tok, SUM(c)::BIGINT AS n_occ FROM pd GROUP BY tok),
+tot AS (SELECT SUM(n_occ)::BIGINT AS total_occ FROM occ),
+scored AS (
+  SELECT tok, (length(bin(total_occ // n_occ)) - 1)::BIGINT AS bits
+  FROM occ, tot)
+SELECT pd.doc_id,
+       SUM(pd.c)::BIGINT AS n_tokens,
+       SUM(pd.c * s.bits)::BIGINT AS sum_bits,
+       (SUM(pd.c * s.bits) * 1000000 // SUM(pd.c))::BIGINT AS mean_ubits
+FROM pd JOIN scored s USING (tok)
+GROUP BY pd.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": QueryDef(_text_stats, _O_TEXT_STATS, "token statistics (core.clj:210-239 scalar kernels)"),
     "token_fingerprints": QueryDef(
@@ -1933,6 +2020,11 @@ QUERIES = {
         _rare_token_ratio,
         _O_RARE_RATIO,
         "unigram-rarity quality score (integer perplexity proxy; skew-immune rare-token join)",
+    ),
+    "unigram_surprisal": QueryDef(
+        _unigram_surprisal,
+        _O_UNIGRAM_SURPRISAL,
+        "integer perplexity proxy: per-doc mean floor-log2 token surprisal, frequency-split join",
     ),
     "source_mix": QueryDef(
         _source_mix,

@@ -578,3 +578,87 @@ def test_conv_turn_stats_scan_reads_only_doc_id(spark):
 
     schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
     assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas), schemas
+
+
+def test_unigram_surprisal_split_join_exact_and_both_paths_live(spark):
+    """unigram_surprisal invariants beyond the oracle gate: (1) the
+    frequency-split join is EXACT — per-doc sums equal a single-pass
+    python recompute of floor(log2(total DIV count)) over every token
+    occurrence; (2) at the fixture DENOM both the broadcast-hot and
+    tail paths actually carry tokens (the split is live, not
+    degenerate); (3) mean_ubits is bounded by the corpus-wide max
+    surprisal."""
+    from collections import Counter
+
+    from ocr_lib_spark.plans import load
+    from ocr_lib_spark.plans.textops import (
+        SURPRISAL_HEAVY_DENOM,
+        _unigram_surprisal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in _unigram_surprisal(spark, sf).collect()}
+
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    counts: Counter = Counter()
+    per_doc: dict = {}
+    for d in docs:
+        toks = [t for t in (d.text or "").strip().split() if t]
+        per_doc[d.doc_id] = toks
+        counts.update(toks)
+    total = sum(counts.values())
+    bits = {t: (total // c).bit_length() - 1 for t, c in counts.items()}
+
+    n_hot = sum(1 for c in counts.values() if c * SURPRISAL_HEAVY_DENOM > total)
+    assert 0 < n_hot <= SURPRISAL_HEAVY_DENOM  # pigeonhole bound, live path
+    assert n_hot < len(counts)  # tail path live too
+
+    max_bits = max(bits.values())
+    for doc_id, toks in per_doc.items():
+        if not toks:
+            assert doc_id not in got  # tokenless docs absent, as pinned
+            continue
+        r = got[doc_id]
+        sb = sum(bits[t] for t in toks)
+        assert r.n_tokens == len(toks)
+        assert r.sum_bits == sb
+        assert r.mean_ubits == sb * 1_000_000 // len(toks)
+        assert 0 <= r.mean_ubits <= max_bits * 1_000_000
+
+
+def test_turn_response_dedup_keep_first_semantics(spark):
+    """Response-dedup invariants: per distinct response digest exactly
+    ONE occurrence corpus-wide is a non-dup (keep-first), the derived
+    boilerplate class collapses to a single keeper, and totals conserve
+    (non-dups == distinct digests)."""
+    from collections import Counter
+
+    from ocr_lib_spark.pipeline import extract_turns
+    from ocr_lib_spark.plans.extraction import (
+        BOILER_MOD,
+        BOILER_RES,
+        BOILER_TEXT,
+        _q_turn_response_dedup,
+    )
+    from ocr_lib_spark.sources.synth import N_CONVS, transcripts_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    rows = _q_turn_response_dedup(spark, sf).collect()
+
+    ex = extract_turns(transcripts_from_documents(spark, sf)).collect()
+    digests: Counter = Counter()
+    n_boiler = 0
+    for t in ex:
+        if t.role != "assistant" or t.extracted_text == "":
+            continue
+        doc_id = t.turn_idx * N_CONVS + int(t.conv_id[5:])
+        txt = BOILER_TEXT if doc_id % BOILER_MOD == BOILER_RES else t.extracted_text
+        n_boiler += txt == BOILER_TEXT
+        digests[txt] += 1
+    assert n_boiler >= 2  # derived positive case is live at sf0.001
+
+    n_resp = sum(digests.values())
+    n_dups = sum(c - 1 for c in digests.values())
+    assert sum(r.n_assistant_turns for r in rows) == n_resp
+    assert sum(r.n_dup_responses for r in rows) == n_dups
+    assert n_resp - n_dups == len(digests)  # one keeper per digest
