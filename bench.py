@@ -128,6 +128,7 @@ HEADLINE = [
     "compaction_plan",  # added round 6 (cumulative-quota small-shard merge groups)
     "unigram_surprisal",  # added round 6 (integer perplexity proxy, frequency-split join)
     "turn_response_dedup",  # added round 6 (cross-conversation assistant-response dedup)
+    "conv_loop_detect",  # added round 6 (agent retry-loop runs per conversation)
 ]
 
 

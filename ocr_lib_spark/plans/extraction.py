@@ -373,6 +373,105 @@ GROUP BY r.conv_id
 """
 
 
+#: derived agent-loop rule for conv_loop_detect: turns with
+#: turn_idx % LOOP_PERIOD < LOOP_LEN carry the fixed retry payload —
+#: every fixture text is unique, so without a derivation no consecutive
+#: turns would ever collide and the run detector's positive branch
+#: would go unexercised (same closed-form-fixture convention as
+#: turn_response_dedup's boilerplate and the PII suite).
+LOOP_PERIOD = 12
+LOOP_LEN = 3
+LOOP_TEXT = "Tool call failed, retrying..."
+#: a run of identical consecutive turns counts as a loop at this length
+LOOP_MIN_RUN = 3
+
+
+def _q_conv_loop_detect(spark, sf_dir):
+    """Agent-loop detection — the transcript-specific repetition signal
+    doc-level Gopher metrics miss: an agent stuck retrying emits runs
+    of IDENTICAL consecutive turns (same tool call, same error, same
+    apology), and loop-heavy conversations are degenerate training
+    data even when every individual turn passes quality gates. Per
+    conversation: turn census, longest identical-digest run, number of
+    runs >= LOOP_MIN_RUN, and turns inside such runs.
+
+    Run detection is the standard gaps-and-islands shape: lag over the
+    (conv, turn order) window flags run starts, a cumulative sum
+    numbers the runs, one groupBy counts them. Scale: both windows
+    partition by conv_id (the loss_mask_spans precedent) — fine for
+    the fixture's bounded convs; a 10^6-turn conversation would run
+    the same two windows over its chunked assembly order
+    (pipeline.assemble_conversations chunk keys) to bound partitions;
+    the aggregates themselves are map-side combinable. Ref analog:
+    run-length boundary detection (event_run_length) applied to the
+    extraction output."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr)
+    from pyspark.sql import Window
+
+    key = F.when(
+        F.col("turn_idx") % LOOP_PERIOD < LOOP_LEN, F.lit(LOOP_TEXT)
+    ).otherwise(F.col("extracted_text"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = ex.select("conv_id", "turn_idx", F.md5(key).alias("k"))
+    t = t.withColumn(
+        "new_run",
+        (F.col("k") != F.coalesce(F.lag("k").over(w), F.lit("")))
+        .cast("int"),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = t.groupBy("conv_id", "run_id").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum((F.col("run_len") >= LOOP_MIN_RUN).cast("long"))
+        .cast("long")
+        .alias("n_loop_runs"),
+        F.sum(
+            F.when(F.col("run_len") >= LOOP_MIN_RUN, F.col("run_len")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_loop_turns"),
+    )
+
+
+_ORACLE_CONV_LOOP = f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id, {_TURN} AS turn_idx,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents
+),
+keyed AS (
+  SELECT conv_id, turn_idx,
+         md5(CASE WHEN turn_idx % {LOOP_PERIOD} < {LOOP_LEN}
+                  THEN '{LOOP_TEXT}' ELSE extracted_text END) AS k
+  FROM per_turn),
+flagged AS (
+  SELECT conv_id, turn_idx, k,
+         CASE WHEN k = COALESCE(LAG(k) OVER w, '') THEN 0 ELSE 1 END AS new_run
+  FROM keyed WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+runs AS (
+  SELECT conv_id,
+         SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged),
+rl AS (SELECT conv_id, run_id, COUNT(*) AS run_len FROM runs GROUP BY conv_id, run_id)
+SELECT conv_id,
+       SUM(run_len)::BIGINT AS n_turns,
+       MAX(run_len)::BIGINT AS max_run,
+       SUM(CASE WHEN run_len >= {LOOP_MIN_RUN} THEN 1 ELSE 0 END)::BIGINT AS n_loop_runs,
+       SUM(CASE WHEN run_len >= {LOOP_MIN_RUN} THEN run_len ELSE 0 END)::BIGINT AS n_loop_turns
+FROM rl GROUP BY conv_id
+"""
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level NEAR-dup: extract -> assemble -> simhash the
     assembled conv_text -> banded-hamming candidate pairs + exact
@@ -1170,6 +1269,11 @@ QUERIES = {
         _q_conv_near_dup,
         _conv_near_dup_oracle(),
         "end-to-end: extract -> assemble -> simhash NEAR-dup pairs over whole conversations",
+    ),
+    "conv_loop_detect": QueryDef(
+        _q_conv_loop_detect,
+        _ORACLE_CONV_LOOP,
+        "agent-loop detection: identical-consecutive-turn runs per conversation",
     ),
     "turn_response_dedup": QueryDef(
         _q_turn_response_dedup,

@@ -662,3 +662,42 @@ def test_turn_response_dedup_keep_first_semantics(spark):
     assert sum(r.n_assistant_turns for r in rows) == n_resp
     assert sum(r.n_dup_responses for r in rows) == n_dups
     assert n_resp - n_dups == len(digests)  # one keeper per digest
+
+
+def test_conv_loop_detect_runs_match_independent_recompute(spark):
+    """Gaps-and-islands run detection recomputed independently per
+    conversation (python run-length over the ordered turn digests with
+    the derived retry rule) must match every per-conv aggregate; the
+    derived loop (length LOOP_LEN at each period start) must be live."""
+    from itertools import groupby
+
+    from ocr_lib_spark.pipeline import extract_turns
+    from ocr_lib_spark.plans.extraction import (
+        LOOP_LEN,
+        LOOP_MIN_RUN,
+        LOOP_PERIOD,
+        LOOP_TEXT,
+        _q_conv_loop_detect,
+    )
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.conv_id: r for r in _q_conv_loop_detect(spark, sf).collect()}
+
+    ex = extract_turns(transcripts_from_documents(spark, sf)).collect()
+    convs: dict = {}
+    for t in ex:
+        key = LOOP_TEXT if t.turn_idx % LOOP_PERIOD < LOOP_LEN else t.extracted_text
+        convs.setdefault(t.conv_id, []).append((t.turn_idx, key))
+    assert set(got) == set(convs)
+    any_loop = False
+    for cid, turns in convs.items():
+        keys = [k for _, k in sorted(turns)]
+        runs = [len(list(g)) for _, g in groupby(keys)]
+        r = got[cid]
+        assert r.n_turns == len(keys)
+        assert r.max_run == max(runs)
+        assert r.n_loop_runs == sum(1 for x in runs if x >= LOOP_MIN_RUN)
+        assert r.n_loop_turns == sum(x for x in runs if x >= LOOP_MIN_RUN)
+        any_loop |= r.n_loop_runs > 0
+    assert any_loop
