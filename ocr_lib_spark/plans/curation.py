@@ -983,9 +983,17 @@ def _q_compaction_plan(spark, sf_dir):
         F.sum("n_bytes").cast("long").alias("n_bytes"),
         F.min("shard").cast("int").alias("min_shard"),
         F.max("shard").cast("int").alias("max_shard"),
-        F.expr(f"sum(n_bytes) * {_PPM} DIV first(target)")
-        .cast("long")
-        .alias("fill_ppm"),
+        # the one corpus-scale product in this module: group bytes at
+        # 100 TB x 1e6 overflows BIGINT (2^63 ~ 9.2e18 = 9.2 TB x 1e6),
+        # so the ppm ratio widens to DECIMAL(38,0) (Spark) / HUGEINT
+        # (DuckDB twin) before the multiply. MUST be integral DIV, not
+        # FLOOR(a / b): Spark's decimal `/` rounds to the result scale
+        # BEFORE floor (measured: 1199999.99998 -> 1200000), while DIV
+        # is exact integer floor division in both engines
+        F.expr(
+            f"CAST(CAST(sum(n_bytes) AS DECIMAL(38,0)) * {_PPM}"
+            " DIV first(target) AS BIGINT)"
+        ).alias("fill_ppm"),
     )
 
 
@@ -1010,7 +1018,7 @@ SELECT (cum_before // target)::INT AS grp,
        SUM(n_bytes)::BIGINT AS n_bytes,
        MIN(shard)::INT AS min_shard,
        MAX(shard)::INT AS max_shard,
-       (SUM(n_bytes) * {_PPM} // ANY_VALUE(target))::BIGINT AS fill_ppm
+       (SUM(n_bytes)::HUGEINT * {_PPM} // ANY_VALUE(target))::BIGINT AS fill_ppm
 FROM planned GROUP BY 1
 """
 

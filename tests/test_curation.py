@@ -376,3 +376,24 @@ def test_stream_incremental_dedup_agrees_with_batch_exact_tier(spark):
         else:
             assert s.verdict == "novel" and s.match_id == -1
             assert b.verdict in ("near", "novel")
+
+
+def test_compaction_fill_ppm_widened_arithmetic_is_exact_floor(spark):
+    """Pin the 100-TB overflow remedy AND its pitfall: fill_ppm widens
+    to DECIMAL(38,0) (BIGINT would overflow past ~9.2 TB of group
+    bytes), and the quotient MUST use integral DIV — Spark's decimal
+    `/` rounds to the result scale before any FLOOR (measured:
+    1199999.99998... -> 1200000), silently off-by-one at quota
+    boundaries."""
+    n_bytes, target = 40_000_000_000_000, 33_333_333_333_334
+    want = n_bytes * 1_000_000 // target  # 1199999 (python exact)
+    div = spark.sql(
+        f"SELECT CAST(CAST({n_bytes} AS DECIMAL(38,0)) * 1000000 "
+        f"DIV {target} AS BIGINT) AS v"
+    ).collect()[0].v
+    assert div == want == 1_199_999
+    rounded = spark.sql(
+        f"SELECT CAST(FLOOR(CAST({n_bytes} AS DECIMAL(38,0)) * 1000000 "
+        f"/ {target}) AS BIGINT) AS v"
+    ).collect()[0].v
+    assert rounded == 1_200_000  # the trap this test guards against
