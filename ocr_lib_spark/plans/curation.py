@@ -168,7 +168,12 @@ def _q_mix_rebalance(spark, sf_dir):
         "source",
         "n_docs",
         F.col("keep_n").cast("long").alias("keep_n"),
-        F.expr(f"keep_n * {_PPM} DIV n_docs").cast("long").alias("rate_ppm"),
+        # DECIMAL(38,0) + integral DIV: keep_n * 1e6 wraps BIGINT past
+        # ~9.2e12 docs in the smallest source (the compaction_plan
+        # overflow class); DIV, never FLOOR(/) — decimal `/` rounds
+        # before floor
+        F.expr(f"CAST(CAST(keep_n AS DECIMAL(38,0)) * {_PPM} DIV n_docs AS BIGINT)")
+        .alias("rate_ppm"),
     )
     return (
         d.join(F.broadcast(rates), "source")
@@ -192,7 +197,7 @@ census AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY source),
 rates AS (
   SELECT source, n_docs,
          (SELECT MIN(n_docs) FROM census)::BIGINT AS keep_n,
-         ((SELECT MIN(n_docs) FROM census) * {_PPM} // n_docs)::BIGINT AS rate_ppm
+         ((SELECT MIN(n_docs) FROM census)::HUGEINT * {_PPM} // n_docs)::BIGINT AS rate_ppm
   FROM census)
 SELECT r.source, r.n_docs, r.keep_n, r.rate_ppm,
        SUM(CASE WHEN d.h < r.rate_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept
@@ -323,9 +328,10 @@ def _q_temperature_mix(spark, sf_dir):
     division, and isqrt computed as floor(√x) in IEEE double followed
     by two integer corrections (+1 if (s+1)² ≤ x, −1 if s² > x) — exact
     for x < 2⁵³, and both engines run the identical correction, so the
-    agreement is unconditional in that domain. Guard: n_min·PPM² must
-    stay under 2⁵³ (raise above ~9·10⁶ docs in the smallest source); at
-    true corpus scale compute x in DECIMAL(38) on both engines.
+    agreement is unconditional: x = n_min·PPM² ÷ n_s ≤ PPM² < 2⁵³ at
+    ANY corpus size (n_min ≤ n_s), and the intermediate product — the
+    only term that can overflow — is widened to DECIMAL(38,0)/HUGEINT
+    on both engines (round-6 overflow audit).
     Application is the same no-RNG content-hash keep rule as
     ``mix_rebalance``; ``expect_kept`` = n_s·rate ÷ PPM is emitted next
     to the applied ``n_kept`` so the hash-uniformity gap is visible.
@@ -345,7 +351,18 @@ def _q_temperature_mix(spark, sf_dir):
         # scalar min; materialize once so the corpus groupBy runs once
         .localCheckpoint(eager=False)
     )
-    isqrt = exact_isqrt(F.expr(f"n_min * {_PPM}L * {_PPM}L DIV n_docs"))
+    # the isqrt INPUT x = n_min*PPM² DIV n_docs is always <= PPM²
+    # (n_min <= n_docs), safely inside isqrt's 2^53 exactness domain at
+    # ANY corpus size — only the INTERMEDIATE product overflows BIGINT
+    # (past ~9.2e6 docs in the smallest source), so it widens to
+    # DECIMAL(38,0)/HUGEINT and lands back in BIGINT (the
+    # compaction_plan overflow class; integral DIV, never FLOOR(/))
+    isqrt = exact_isqrt(
+        F.expr(
+            f"CAST(CAST(n_min AS DECIMAL(38,0)) * {_PPM} * {_PPM}"
+            " DIV n_docs AS BIGINT)"
+        )
+    )
     rates = census.crossJoin(
         F.broadcast(census.agg(F.min("n_docs").alias("n_min")))
     ).select(
@@ -359,9 +376,10 @@ def _q_temperature_mix(spark, sf_dir):
         .agg(
             F.first("n_docs").alias("n_docs"),
             F.first("rate_ppm").alias("rate_ppm"),
-            F.expr(f"first(n_docs * rate_ppm DIV {_PPM})").cast("long").alias(
-                "expect_kept"
-            ),
+            F.expr(
+                f"first(CAST(CAST(n_docs AS DECIMAL(38,0)) * rate_ppm"
+                f" DIV {_PPM} AS BIGINT))"
+            ).alias("expect_kept"),
             F.sum(F.when(F.col("h") < F.col("rate_ppm"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
@@ -376,8 +394,8 @@ WITH d AS (
 census AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY source),
 r1 AS (
   SELECT source, n_docs,
-         ((SELECT MIN(n_docs) FROM census) * {_PPM}::BIGINT * {_PPM}::BIGINT
-          // n_docs) AS x
+         ((SELECT MIN(n_docs) FROM census)::HUGEINT * {_PPM} * {_PPM}
+          // n_docs)::BIGINT AS x
   FROM census),
 r2 AS (SELECT *, CAST(FLOOR(SQRT(x::DOUBLE)) AS BIGINT) AS s0 FROM r1),
 r3 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 ELSE s0 END AS s1 FROM r2),
@@ -386,7 +404,7 @@ rates AS (
          CASE WHEN s1 * s1 > x THEN s1 - 1 ELSE s1 END::BIGINT AS rate_ppm
   FROM r3)
 SELECT r.source, r.n_docs, r.rate_ppm,
-       (r.n_docs * r.rate_ppm // {_PPM})::BIGINT AS expect_kept,
+       (r.n_docs::HUGEINT * r.rate_ppm // {_PPM})::BIGINT AS expect_kept,
        SUM(CASE WHEN d.h < r.rate_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM d JOIN rates r ON d.source = r.source
 GROUP BY r.source, r.n_docs, r.rate_ppm

@@ -1739,7 +1739,17 @@ def _rare_token_ratio(spark, sf_dir):
     )
     rare = (
         occ.crossJoin(F.broadcast(tot))
-        .where(F.lit(RARE_FACTOR) * F.col("vocab_n") * F.col("n_occ") < F.col("total_occ"))
+        # the rule's product widens to DECIMAL(38,0): at corpus scale
+        # RARE_FACTOR * vocab_n * n_occ wraps BIGINT (vocab ~1e9 x a
+        # hot token's ~1e10 occurrences = 2e19 > 2^63; with ANSI off
+        # the wrap silently flips rare classification) — the round-6
+        # overflow-audit class, remedied the compaction_plan way
+        .where(
+            F.expr(
+                f"CAST(vocab_n AS DECIMAL(38,0)) * n_occ * {RARE_FACTOR}"
+                " < CAST(total_occ AS DECIMAL(38,0))"
+            )
+        )
         .select("tok")
     )
     n_tok = pd_counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n_tokens"))
@@ -1763,7 +1773,8 @@ _O_RARE_RATIO = f"""
 WITH {_O_TOKS_CTE},
 occ AS (SELECT tok, COUNT(*) AS n_occ FROM tk GROUP BY tok),
 tot AS (SELECT SUM(n_occ) AS total_occ, COUNT(*) AS vocab_n FROM occ),
-rare AS (SELECT tok FROM occ, tot WHERE {RARE_FACTOR} * vocab_n * n_occ < total_occ),
+rare AS (SELECT tok FROM occ, tot
+         WHERE vocab_n::HUGEINT * n_occ * {RARE_FACTOR} < total_occ::HUGEINT),
 nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM tk GROUP BY doc_id),
 nr AS (SELECT doc_id, COUNT(*)::BIGINT AS n_rare FROM tk JOIN rare USING (tok) GROUP BY doc_id)
 SELECT nt.doc_id, nt.n_tokens, COALESCE(nr.n_rare, 0)::BIGINT AS n_rare,
