@@ -95,6 +95,9 @@ def transcripts_select_sql(documents_rel: str = "documents") -> str:
     b64p = _sql_quote(B64_PRE)
     # Spark: base64(cast(text as binary)); DuckDB: to_base64(text::blob).
     # Caller substitutes {B64} with the engine-specific expression.
+    # {TS} likewise: both engines wrap/overflow an INT32 in
+    # `CAST(doc_id AS INT) * INTERVAL` past 2^31 docs (the ADVICE-r05
+    # hazard class), so each side uses its exact-BIGINT form.
     return f"""
 SELECT
   printf('conv-%08d', doc_id % {N_CONVS}) AS conv_id,
@@ -110,7 +113,7 @@ SELECT
     ELSE ''
   END AS text,
   CASE WHEN CAST(doc_id % {N_CASES} AS INT) = 3 THEN 'search' ELSE '' END AS tool,
-  TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL '1' SECOND AS ts
+  {{TS}} AS ts
 FROM {documents_rel}
 """
 
@@ -124,8 +127,17 @@ def transcripts_from_documents(spark, sf_dir: str):
     # depending on spark.sql.legacy.chunkBase64String.enabled); strip the
     # line breaks so the payload matches RFC-4648-without-breaks (DuckDB's
     # to_base64) and the span arithmetic stays closed-form.
-    sql = transcripts_select_sql("__synth_documents").replace(
-        "{B64}", r"regexp_replace(base64(cast(text AS BINARY)), '[\\r\\n]', '')"
+    sql = (
+        transcripts_select_sql("__synth_documents")
+        .replace(
+            "{B64}",
+            r"regexp_replace(base64(cast(text AS BINARY)), '[\\r\\n]', '')",
+        )
+        # BIGINT * day-time interval is exact in Spark (no INT32 wrap)
+        .replace(
+            "{TS}",
+            "TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL '1' SECOND",
+        )
     )
     return spark.sql(sql)
 
@@ -133,7 +145,15 @@ def transcripts_from_documents(spark, sf_dir: str):
 def duckdb_transcripts_cte() -> str:
     """The same derivation as a DuckDB CTE body over the pre-registered
     ``documents`` view (driver oracle side)."""
-    return transcripts_select_sql("documents").replace("{B64}", "to_base64(text::BLOB)")
+    return (
+        transcripts_select_sql("documents")
+        .replace("{B64}", "to_base64(text::BLOB)")
+        # to_seconds takes BIGINT (DuckDB's n * INTERVAL casts via INT32)
+        .replace(
+            "{TS}",
+            "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)",
+        )
+    )
 
 
 # --- standalone seeded generator (bench / pytest scale fixtures) ------------
