@@ -129,6 +129,7 @@ HEADLINE = [
     "unigram_surprisal",  # added round 6 (integer perplexity proxy, frequency-split join)
     "turn_response_dedup",  # added round 6 (cross-conversation assistant-response dedup)
     "conv_loop_detect",  # added round 6 (agent retry-loop runs per conversation)
+    "dsir_select",  # added round 6 (DSIR importance selection, broadcast bucket model)
 ]
 
 

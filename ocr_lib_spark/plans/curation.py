@@ -1123,6 +1123,196 @@ FROM hits WHERE c >= {SEMDECON_T} GROUP BY vec_id
 """
 
 
+# --- DSIR-style importance selection (hashed-unigram LR scoring) -------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169), integer-exact: score each raw-pool document by its
+# log-likelihood ratio under hashed-unigram models of a TARGET corpus
+# vs the RAW pool, then keep docs scoring at or above the corpus
+# token-weighted mean. Recast for the determinism contract:
+#
+# - features: md5-prefix token hash % DSIR_BUCKETS (DSIR's hashed
+#   n-gram buckets; the bucket model is <= DSIR_BUCKETS rows AT ANY
+#   CORPUS SIZE, so it broadcasts and no token-keyed shuffle exists).
+# - per-bucket signed floor-log2 LR with Laplace smoothing, via
+#   integer cross-multiplication: num = (n_t+1)*(T_r+B), den =
+#   (n_r+1)*(T_t+B); bits = +floor_log2(num DIV den) when num >= den
+#   else -floor_log2(den DIV num) — length(bin(q))-1 is floor-log2 on
+#   both engines, and floor(log2(floor(x))) == floor(log2(x)) for
+#   x >= 1 since integer-power-of-2 thresholds commute with floor. The
+#   corpus-scale products widen to DECIMAL(38,0)/HUGEINT (~1e28 at
+#   10^14 tokens; quotients <= T_r fit BIGINT before bin()).
+# - selection pivot: the corpus token-weighted mean score — ONE scalar
+#   aggregate, so the split is nontrivial at every scale factor with
+#   no fixture-tuned threshold. Signed floor division is engine-exact
+#   via the +DSIR_BITS_OFFSET shift: Spark DIV truncates toward zero
+#   and DuckDB // floors, which differ on negatives, so both sides
+#   compute floor((x + OFF*n)*ppm / n) - OFF*ppm on a guaranteed
+#   non-negative numerator (|bits| <= 47 < OFF at any corpus size).
+#
+# Target = docs from DSIR_TARGET_SOURCE (the deterministic stand-in
+# for "the Wikipedia-like target corpus"; the derived-fixture
+# convention). Ref analog: check-matching-fn's broadcast prototype
+# score table (core.clj:1020-1069) with glyph prototypes replaced by
+# the target-vs-raw bucket LR model.
+
+DSIR_BUCKETS = 65536
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BITS_OFFSET = 64
+
+
+def _q_dsir_select(spark, sf_dir):
+    """Per-doc DSIR importance score + above-corpus-mean keep flag.
+
+    Scale shape: one documents scan explodes to (doc, bucket) counts
+    (map-side combinable, doc-keyed uniform shuffle); the bucket model
+    is a <= DSIR_BUCKETS-row aggregate (combinable; bounded key count)
+    that BROADCASTS back — the skew-prone token-frequency join never
+    materializes as a shuffle. pd and per are lazily checkpointed
+    (each feeds two consumers — the exchange-reuse convention). The
+    pivot is a scalar crossJoin broadcast. Zero-token docs surface
+    with zeros via the left join from the doc scan and are never
+    selected."""
+    B, OFF = DSIR_BUCKETS, DSIR_BITS_OFFSET
+    d = _docs(spark, sf_dir)
+    toks = F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    tb = (
+        d.select(
+            "doc_id",
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_t"),
+            toks,
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "is_t",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % B
+            ).alias("b"),
+        )
+    )
+    pd_counts = (
+        tb.groupBy("doc_id", "b")
+        .agg(F.min("is_t").alias("is_t"), F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    occ = pd_counts.groupBy("b").agg(
+        F.sum("c").cast("long").alias("n_r"),
+        F.sum(F.col("c") * F.col("is_t")).cast("long").alias("n_t"),
+    )
+    tot = occ.agg(
+        F.sum("n_r").cast("long").alias("t_r"), F.sum("n_t").cast("long").alias("t_t")
+    )
+    # fully parenthesized: DIV and * share precedence left-assoc in
+    # Spark SQL, so an unparenthesized `num DIV a * b` misgroups
+    num = f"(CAST(n_t + 1 AS DECIMAL(38,0)) * (t_r + {B}))"
+    den = f"(CAST(n_r + 1 AS DECIMAL(38,0)) * (t_t + {B}))"
+    model = occ.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CASE WHEN {num} >= {den}"
+            f" THEN CAST(length(bin(CAST({num} DIV {den} AS BIGINT))) - 1 AS BIGINT)"
+            f" ELSE -CAST(length(bin(CAST({den} DIV {num} AS BIGINT))) - 1 AS BIGINT)"
+            " END"
+        ).alias("bits"),
+    )
+    per = (
+        pd_counts.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("bits")).cast("long").alias("lr_bits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pivot = per.agg(
+        F.expr(
+            f"CAST((CAST(sum(lr_bits) AS DECIMAL(38,0)) + {OFF} * sum(n_tokens))"
+            f" * {_PPM} DIV sum(n_tokens) - {OFF} * {_PPM} AS BIGINT)"
+        ).alias("pivot_mlr")
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(pivot))
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("lr_bits", F.lit(0)).cast("long").alias("lr_bits"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.expr(
+                    f"(lr_bits + {OFF} * n_tokens) * {_PPM} DIV n_tokens"
+                    f" - {OFF} * {_PPM}"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_mlr"),
+            "pivot_mlr",
+        )
+        .withColumn(
+            "selected",
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("mean_mlr") >= F.col("pivot_mlr")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+_O_DSIR_SELECT = f"""
+WITH tk AS (
+  SELECT doc_id, CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END AS is_t,
+         unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+tb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM tk WHERE tok <> ''),
+pd AS (SELECT doc_id, MIN(is_t) AS is_t, b, COUNT(*)::BIGINT AS c
+       FROM tb GROUP BY doc_id, b),
+occ AS (SELECT b, SUM(c)::BIGINT AS n_r, SUM(c * is_t)::BIGINT AS n_t
+        FROM pd GROUP BY b),
+tot AS (SELECT SUM(n_r)::BIGINT AS t_r, SUM(n_t)::BIGINT AS t_t FROM occ),
+model AS (
+  SELECT b,
+    CASE WHEN (n_t + 1)::HUGEINT * (t_r + {DSIR_BUCKETS})
+           >= (n_r + 1)::HUGEINT * (t_t + {DSIR_BUCKETS})
+      THEN (length(bin(((n_t + 1)::HUGEINT * (t_r + {DSIR_BUCKETS})
+            // ((n_r + 1)::HUGEINT * (t_t + {DSIR_BUCKETS})))::BIGINT)) - 1)::BIGINT
+      ELSE -(length(bin(((n_r + 1)::HUGEINT * (t_t + {DSIR_BUCKETS})
+            // ((n_t + 1)::HUGEINT * (t_r + {DSIR_BUCKETS})))::BIGINT)) - 1)::BIGINT
+    END AS bits
+  FROM occ, tot),
+per AS (
+  SELECT pd.doc_id, SUM(pd.c)::BIGINT AS n_tokens,
+         SUM(pd.c * m.bits)::BIGINT AS lr_bits
+  FROM pd JOIN model m USING (b) GROUP BY pd.doc_id),
+pv AS (
+  SELECT ((SUM(lr_bits)::HUGEINT + {DSIR_BITS_OFFSET} * SUM(n_tokens)) * {_PPM}
+          // SUM(n_tokens) - {DSIR_BITS_OFFSET} * {_PPM})::BIGINT AS pivot_mlr
+  FROM per)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(p.lr_bits, 0)::BIGINT AS lr_bits,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN ((p.lr_bits + {DSIR_BITS_OFFSET} * p.n_tokens) * {_PPM}
+                  // p.n_tokens - {DSIR_BITS_OFFSET} * {_PPM})::BIGINT
+            ELSE 0 END AS mean_mlr,
+       (SELECT pivot_mlr FROM pv) AS pivot_mlr,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+             AND ((p.lr_bits + {DSIR_BITS_OFFSET} * p.n_tokens) * {_PPM}
+                  // p.n_tokens - {DSIR_BITS_OFFSET} * {_PPM})
+                 >= (SELECT pivot_mlr FROM pv)
+            THEN 1 ELSE 0 END::BIGINT AS selected
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -1178,5 +1368,10 @@ QUERIES = {
         _q_semantic_decontaminate,
         _semantic_decontaminate_oracle(),
         "embedding-cosine eval decontamination: corpus x holdout sign-LSH join + exact verify",
+    ),
+    "dsir_select": QueryDef(
+        _q_dsir_select,
+        _O_DSIR_SELECT,
+        "DSIR importance selection: hashed-unigram target-vs-raw LR score, above-corpus-mean keep",
     ),
 }
