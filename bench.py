@@ -130,6 +130,9 @@ HEADLINE = [
     "turn_response_dedup",  # added round 6 (cross-conversation assistant-response dedup)
     "conv_loop_detect",  # added round 6 (agent retry-loop runs per conversation)
     "dsir_select",  # added round 6 (DSIR importance selection, broadcast bucket model)
+    "curation_funnel",  # added round 6 (first-failing-stage drop attribution)
+    "normalized_dedup",  # added round 6 (near-exact tier: normalized-digest census)
+    "leakage_safe_split",  # added round 6 (cluster-atomic train/val/test assignment)
 ]
 
 

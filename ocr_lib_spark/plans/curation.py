@@ -1313,6 +1313,398 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- curation funnel: per-doc first-failing-stage attribution ----------------
+# The observability query a 100 TB cleaning run needs: not just "what
+# survived" (training_mix) but WHY each document left — which gate
+# dropped it first. One corpus scan computes every rule bit, a
+# priority CASE encodes the first failing stage, and the census twin
+# reports per-stage doc/word totals. Stage order mirrors the
+# production gauntlet: eval-holdout removal -> exact dedup keep-first
+# -> quality rule bits -> 8-gram decontamination -> kept.
+#
+# Fixture realism (the derived-fixture convention — unique synthetic
+# texts never collide, so duplicates are DERIVED in closed form on
+# BOTH engines): docs with doc_id % FUNNEL_BOILER_MOD ==
+# FUNNEL_BOILER_RES carry a fixed boilerplate text, so the duplicate
+# stage genuinely drops non-first members, and the surviving keeper
+# then fails the word-count quality gate (boilerplate is 9 words) —
+# the cascade the funnel exists to explain. Every stage is populated
+# at every sf: holdout ~1/7, duplicate ~1/9, quality and contaminated
+# from the fixture's own distribution.
+#
+# Ref analog: the reference's staged pixel gauntlet (binarize ->
+# noise-floor -> grouping -> classify, core.clj:332-638) reports only
+# survivors; the funnel is the per-candidate drop-attribution that
+# engine never had.
+
+FUNNEL_BOILER_MOD = 9
+FUNNEL_BOILER_RES = 4
+FUNNEL_BOILER_TEXT = "Thanks for your request. Please see the attached summary."
+#: frequency-split threshold for the dup keep-first join-back (shared
+#: convention with unigram_surprisal): digests with count * DENOM >
+#: corpus size are "hot" — by pigeonhole there are <= DENOM of them, so
+#: the hot keeper map BROADCASTS and the boilerplate mega-digest never
+#: lands its n/9 rows in one shuffle task; tail keys carry <=
+#: total/DENOM rows each.
+FUNNEL_DENOM = 256
+#: stages in priority order (first failing wins)
+FUNNEL_STAGES = ("eval_holdout", "duplicate", "quality", "contaminated", "kept")
+
+
+def _funnel_txt(d):
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES,
+            F.lit(FUNNEL_BOILER_TEXT),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("txt"),
+    )
+
+
+def _funnel_frame(spark, sf_dir):
+    """Per-doc rule bits + first-failing-stage label. Scale shape: the
+    digest keep-first uses the FREQUENCY-SPLIT join (hot digests
+    broadcast, tail digests bounded per key — see FUNNEL_DENOM); the
+    quality bits are one pure-codegen pass (gopher_bits_frame); the
+    contamination tier is the broadcast-holdout gram join of
+    `decontaminate`. Every join back to the doc spine is keyed on
+    doc_id (uniform). The derived-text spine is lazily checkpointed —
+    it feeds the digest, quality, and gram branches."""
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K, gopher_bits_frame
+
+    d = _funnel_txt(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    dig = d.select("doc_id", F.md5("txt").alias("digest")).localCheckpoint(
+        eager=False
+    )
+    grp = (
+        dig.groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = grp.agg(F.sum("c").alias("n_total"))
+    g2 = grp.crossJoin(F.broadcast(tot))
+    hot = g2.where(F.col("c") * FUNNEL_DENOM > F.col("n_total")).select(
+        "digest", "keep_id"
+    )
+    tail = g2.where(F.col("c") * FUNNEL_DENOM <= F.col("n_total")).select(
+        "digest", "keep_id"
+    )
+    keep = dig.join(F.broadcast(hot), "digest").select("doc_id", "keep_id").union(
+        dig.join(tail, "digest").select("doc_id", "keep_id")
+    )
+    qual = gopher_bits_frame(d.select("doc_id", F.col("txt").alias("text"))).select(
+        "doc_id", "n_words", "pass_all"
+    )
+    toks = F.split(F.trim("txt"), " ")
+    grams = F.expr(
+        f"CASE WHEN size(t) >= {DECON_K} THEN "
+        f"transform(sequence(0, cast(size(t) as int) - {DECON_K}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {DECON_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    g = d.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    holdout = (
+        g.where(F.col("doc_id") % DECON_HOLDOUT_MOD == 0).select("g").distinct()
+    )
+    hits = (
+        g.where(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+        .join(F.broadcast(holdout), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hit_grams"))
+    )
+    is_holdout = (F.col("doc_id") % DECON_HOLDOUT_MOD == 0).cast("long")
+    is_dup = (F.col("doc_id") != F.col("keep_id")).cast("long")
+    return (
+        d.select("doc_id")
+        .join(keep, "doc_id")
+        .join(qual, "doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            is_holdout.alias("is_holdout"),
+            is_dup.alias("is_duplicate"),
+            F.col("pass_all").alias("pass_quality"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+        )
+        .withColumn(
+            "stage",
+            F.when(F.col("is_holdout") == 1, FUNNEL_STAGES[0])
+            .when(F.col("is_duplicate") == 1, FUNNEL_STAGES[1])
+            .when(~F.col("pass_quality"), FUNNEL_STAGES[2])
+            .when(F.col("n_hit_grams") >= 1, FUNNEL_STAGES[3])
+            .otherwise(FUNNEL_STAGES[4]),
+        )
+    )
+
+
+def _q_curation_funnel(spark, sf_dir):
+    """Per-doc drop attribution: rule bits + first-failing stage."""
+    return _funnel_frame(spark, sf_dir)
+
+
+def _q_curation_funnel_census(spark, sf_dir):
+    """Per-stage funnel census: docs, words, first doc id. One
+    combinable groupBy over the funnel frame — 5 output rows at any
+    corpus size."""
+    return _funnel_frame(spark, sf_dir).groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words_total"),
+        F.min("doc_id").cast("long").alias("first_doc_id"),
+    )
+
+
+def _funnel_oracle_ctes() -> str:
+    from ocr_lib_spark.plans.textops import (
+        DECON_HOLDOUT_MOD,
+        DECON_K,
+        GQ_MAX_WORDS,
+        GQ_MIN_WORDS,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
+              THEN '{FUNNEL_BOILER_TEXT}' ELSE COALESCE(text, '') END AS txt
+  FROM documents),
+keep AS (
+  SELECT md5(txt) AS digest, MIN(doc_id) AS keep_id FROM d GROUP BY md5(txt)),
+kd AS (SELECT d.doc_id, k.keep_id FROM d JOIN keep k ON md5(d.txt) = k.digest),
+t AS (SELECT doc_id, string_split(trim(txt), ' ') AS t FROM d),
+qbase AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_words,
+         COALESCE(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS total_chars,
+         len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))::BIGINT AS n_alpha_words
+  FROM t),
+qtop AS (
+  SELECT doc_id, MAX(c)::BIGINT AS top_word_n FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(t) AS w FROM t) WHERE w <> '' GROUP BY doc_id, w)
+  GROUP BY doc_id),
+q AS (
+  SELECT b.doc_id, b.n_words,
+         ((b.n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS})
+          AND (3 * b.n_words <= b.total_chars AND b.total_chars <= 10 * b.n_words)
+          AND (5 * b.n_alpha_words >= 4 * b.n_words)
+          AND (5 * COALESCE(p.top_word_n, 0) <= b.n_words)) AS pass_all
+  FROM qbase b LEFT JOIN qtop p USING (doc_id)),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - {DECON_K} + 1),
+                i -> array_to_string(list_slice(t, i + 1, i + {DECON_K}), ' '))) AS g
+  FROM t WHERE len(t) >= {DECON_K}),
+holdout AS (SELECT DISTINCT g FROM g WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.g)::BIGINT AS n_hit_grams
+  FROM g c JOIN holdout h ON c.g = h.g
+  WHERE c.doc_id % {DECON_HOLDOUT_MOD} != 0 GROUP BY c.doc_id),
+funnel AS (
+  SELECT d.doc_id, q.n_words,
+         (d.doc_id % {DECON_HOLDOUT_MOD} = 0)::BIGINT AS is_holdout,
+         (d.doc_id != kd.keep_id)::BIGINT AS is_duplicate,
+         q.pass_all AS pass_quality,
+         COALESCE(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+         CASE WHEN d.doc_id % {DECON_HOLDOUT_MOD} = 0 THEN '{FUNNEL_STAGES[0]}'
+              WHEN d.doc_id != kd.keep_id THEN '{FUNNEL_STAGES[1]}'
+              WHEN NOT q.pass_all THEN '{FUNNEL_STAGES[2]}'
+              WHEN COALESCE(h.n_hit_grams, 0) >= 1 THEN '{FUNNEL_STAGES[3]}'
+              ELSE '{FUNNEL_STAGES[4]}' END AS stage
+  FROM d
+  JOIN kd ON d.doc_id = kd.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id)
+"""
+
+
+def _curation_funnel_oracle() -> str:
+    return (
+        _funnel_oracle_ctes()
+        + """
+SELECT doc_id, n_words, is_holdout, is_duplicate, pass_quality, n_hit_grams, stage
+FROM funnel
+"""
+    )
+
+
+def _curation_funnel_census_oracle() -> str:
+    return (
+        _funnel_oracle_ctes()
+        + """
+SELECT stage, COUNT(*)::BIGINT AS n_docs, SUM(n_words)::BIGINT AS n_words_total,
+       MIN(doc_id)::BIGINT AS first_doc_id
+FROM funnel GROUP BY stage
+"""
+    )
+
+
+# --- normalized dedup: the near-exact tier -----------------------------------
+# The CCNet/RefinedWeb tier between exact dedup and MinHash: hash the
+# NORMALIZED text (casefold, strip non-alphanumerics, collapse runs of
+# spaces) so trivially-reformatted mirrors — case changes, punctuation,
+# whitespace — collapse to one digest that raw-md5 dedup misses. ASCII
+# normalization only (the fixture corpus is ASCII; Java and DuckDB
+# lower() agree on ASCII unconditionally — the unicode casefold
+# question is out of scope by construction, same boundary as the
+# _unicode query twins).
+#
+# Derived fixture (unique synthetic texts never collide): class
+# doc_id % 9 == 4 carries the boilerplate verbatim; class % 9 == 7
+# carries UPPER(boilerplate) + '  !!'. Raw digests differ (exact dedup
+# keeps both classes whole); normalized digests MERGE them — the tier
+# boundary is exercised, not asserted.
+
+NORM_VARIANT_RES = 7
+NORM_VARIANT_TEXT = FUNNEL_BOILER_TEXT.upper() + "  !!"
+
+
+def _q_normalized_dedup(spark, sf_dir):
+    """Normalized-digest census: n_docs, distinct raw variants, and the
+    keep-first id per normalized digest. Scale shape: per-doc map ->
+    two-level groupBy ((norm, raw) then norm — both map-side
+    combinable, so the boilerplate mega-digest partial-aggregates
+    before the shuffle; no window, no join-back)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES,
+            F.lit(FUNNEL_BOILER_TEXT),
+        )
+        .when(
+            F.col("doc_id") % FUNNEL_BOILER_MOD == NORM_VARIANT_RES,
+            F.lit(NORM_VARIANT_TEXT),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("txt"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("txt"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    per = d.select(
+        F.md5(norm).alias("norm_digest"), F.md5("txt").alias("raw_digest"), "doc_id"
+    )
+    lvl1 = per.groupBy("norm_digest", "raw_digest").agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("m")
+    )
+    return lvl1.groupBy("norm_digest").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_exact_variants"),
+        F.min("m").cast("long").alias("keep_id"),
+    )
+
+
+_O_NORMALIZED_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
+                THEN '{FUNNEL_BOILER_TEXT}'
+              WHEN doc_id % {FUNNEL_BOILER_MOD} = {NORM_VARIANT_RES}
+                THEN '{NORM_VARIANT_TEXT}'
+              ELSE COALESCE(text, '') END AS txt
+  FROM documents),
+per AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(txt), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_digest,
+         md5(txt) AS raw_digest, doc_id
+  FROM d),
+lvl1 AS (
+  SELECT norm_digest, raw_digest, COUNT(*) AS c, MIN(doc_id) AS m
+  FROM per GROUP BY norm_digest, raw_digest)
+SELECT norm_digest, SUM(c)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_exact_variants, MIN(m)::BIGINT AS keep_id
+FROM lvl1 GROUP BY norm_digest
+"""
+
+
+# --- leakage-safe split: cluster-atomic train/val/test assignment ------------
+# The split step that makes near-dup dedup actually protect evals:
+# assigning splits by per-doc hash lets two near-duplicate documents
+# land in train AND val — memorized-twin leakage. Assign by the hash
+# of the doc's near-dup CLUSTER REPRESENTATIVE (the transitive-closure
+# min label; singletons represent themselves) and the whole cluster
+# moves atomically — no near-dup pair can ever straddle a split
+# boundary, by construction.
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def _q_leakage_safe_split(spark, sf_dir):
+    """Per-doc split assignment keyed on the near-dup cluster
+    representative. Scale shape: the cluster label table is
+    O(duplicates) (only docs in a >=2 cluster appear) and joins the doc
+    spine on doc_id (uniform); the split rule is a pure codegen map of
+    the md5-prefix bucket — no shuffle keyed on the (skewed) cluster
+    label ever exists."""
+    from ocr_lib_spark.plans.textops import _near_dup_clusters
+
+    lab = _near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_rep"),
+            F.col("cluster_id").isNotNull().cast("long").alias("in_cluster"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return base.select(
+        "doc_id",
+        "cluster_rep",
+        "in_cluster",
+        bucket.alias("split_bucket"),
+        F.when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from ocr_lib_spark.plans.textops import _near_dup_verified_oracle
+
+    return f"""
+WITH RECURSIVE vp AS ({_near_dup_verified_oracle()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+base AS (
+  SELECT d.doc_id,
+         COALESCE(l.cluster_id, d.doc_id)::BIGINT AS cluster_rep,
+         (l.cluster_id IS NOT NULL)::BIGINT AS in_cluster
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+b AS (
+  SELECT *, (('0x' || substr(md5(cluster_rep::VARCHAR), 1, 15))::BIGINT % 100)::BIGINT
+            AS split_bucket
+  FROM base)
+SELECT doc_id, cluster_rep, in_cluster, split_bucket,
+       CASE WHEN split_bucket < {SPLIT_VAL_PCT} THEN 'val'
+            WHEN split_bucket < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -1373,5 +1765,25 @@ QUERIES = {
         _q_dsir_select,
         _O_DSIR_SELECT,
         "DSIR importance selection: hashed-unigram target-vs-raw LR score, above-corpus-mean keep",
+    ),
+    "curation_funnel": QueryDef(
+        _q_curation_funnel,
+        _curation_funnel_oracle(),
+        "per-doc drop attribution: first failing stage of the cleaning gauntlet",
+    ),
+    "curation_funnel_census": QueryDef(
+        _q_curation_funnel_census,
+        _curation_funnel_census_oracle(),
+        "per-stage funnel census: docs/words dropped at each cleaning gate",
+    ),
+    "normalized_dedup": QueryDef(
+        _q_normalized_dedup,
+        _O_NORMALIZED_DEDUP,
+        "near-exact dedup tier: normalized-text digest census with raw-variant counts",
+    ),
+    "leakage_safe_split": QueryDef(
+        _q_leakage_safe_split,
+        _leakage_safe_split_oracle(),
+        "cluster-atomic train/val/test split: near-dups never straddle a boundary",
     ),
 }

@@ -397,3 +397,108 @@ def test_compaction_fill_ppm_widened_arithmetic_is_exact_floor(spark):
         f"/ {target}) AS BIGINT) AS v"
     ).collect()[0].v
     assert rounded == 1_200_000  # the trap this test guards against
+
+
+def test_curation_funnel_first_fail_attribution(spark, docs):
+    """The funnel partitions the corpus and attributes each doc to its
+    FIRST failing gate: holdout beats duplicate beats quality beats
+    contamination; the derived boilerplate class exercises the
+    duplicate->quality cascade (non-keepers drop as duplicates, the
+    keeper survives dedup then fails the word-count gate)."""
+    from ocr_lib_spark.plans.curation import (
+        FUNNEL_BOILER_MOD,
+        FUNNEL_BOILER_RES,
+        FUNNEL_STAGES,
+        _q_curation_funnel,
+        _q_curation_funnel_census,
+    )
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD
+
+    rows = {r.doc_id: r for r in _q_curation_funnel(spark, SF).collect()}
+    assert len(rows) == docs.count()  # every doc surfaces exactly once
+    assert set(r.stage for r in rows.values()) <= set(FUNNEL_STAGES)
+    boiler = sorted(
+        d for d in rows if d % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES
+    )
+    keeper = boiler[0]
+    for d, r in rows.items():
+        if d % DECON_HOLDOUT_MOD == 0:
+            assert r.stage == "eval_holdout"
+        elif d in boiler and d != keeper:
+            assert r.stage == "duplicate"
+    # the boilerplate keeper survives dedup, then fails word-count
+    k = rows[keeper]
+    if keeper % DECON_HOLDOUT_MOD != 0:
+        assert k.is_duplicate == 0 and not k.pass_quality
+        assert k.stage == "quality"
+    # stage label is the priority encoding of the bits, re-derived
+    for r in rows.values():
+        want = (
+            "eval_holdout"
+            if r.is_holdout
+            else "duplicate"
+            if r.is_duplicate
+            else "quality"
+            if not r.pass_quality
+            else "contaminated"
+            if r.n_hit_grams >= 1
+            else "kept"
+        )
+        assert r.stage == want
+    census = {r.stage: r for r in _q_curation_funnel_census(spark, SF).collect()}
+    assert sum(c.n_docs for c in census.values()) == len(rows)
+    for stage, c in census.items():
+        members = [r for r in rows.values() if r.stage == stage]
+        assert c.n_docs == len(members)
+        assert c.n_words_total == sum(r.n_words for r in members)
+        assert c.first_doc_id == min(r.doc_id for r in members)
+
+
+def test_normalized_dedup_merges_case_punct_variants(spark, docs):
+    """The near-exact tier merges what raw-digest dedup keeps apart:
+    the boilerplate class and its UPPER+punctuation variant share one
+    normalized digest with exactly two raw variants; every non-derived
+    doc stays a singleton variant."""
+    from ocr_lib_spark.plans.curation import (
+        FUNNEL_BOILER_MOD,
+        FUNNEL_BOILER_RES,
+        NORM_VARIANT_RES,
+        _q_normalized_dedup,
+    )
+
+    out = _q_normalized_dedup(spark, SF).collect()
+    n_docs_total = docs.count()
+    assert sum(r.n_docs for r in out) == n_docs_total
+    ids = list(range(n_docs_total))
+    cls_a = [d for d in ids if d % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES]
+    cls_b = [d for d in ids if d % FUNNEL_BOILER_MOD == NORM_VARIANT_RES]
+    merged = [r for r in out if r.n_exact_variants == 2]
+    assert len(merged) == 1
+    m = merged[0]
+    assert m.n_docs == len(cls_a) + len(cls_b)
+    assert m.keep_id == min(cls_a + cls_b)
+    assert all(r.n_exact_variants == 1 for r in out if r.norm_digest != m.norm_digest)
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark, docs):
+    """No verified near-dup pair may straddle a split boundary — the
+    property per-doc hashing violates and cluster-rep hashing
+    guarantees; bucket rule pinned against an independent python
+    recompute."""
+    import hashlib
+
+    from ocr_lib_spark.plans.curation import _q_leakage_safe_split
+    from ocr_lib_spark.plans.textops import _near_dup_verified
+
+    out = {r.doc_id: r for r in _q_leakage_safe_split(spark, SF).collect()}
+    assert len(out) == docs.count()
+    pairs = _near_dup_verified(spark, SF).select("id_a", "id_b").collect()
+    assert pairs  # fixture must exercise the property
+    for p in pairs:
+        assert out[p.id_a].split == out[p.id_b].split
+        assert out[p.id_a].cluster_rep == out[p.id_b].cluster_rep
+        assert out[p.id_a].in_cluster == 1 and out[p.id_b].in_cluster == 1
+    for r in list(out.values())[:200]:
+        b = int(hashlib.md5(str(r.cluster_rep).encode()).hexdigest()[:15], 16) % 100
+        assert r.split_bucket == b
+        assert r.split == ("val" if b < 10 else "test" if b < 20 else "train")
