@@ -133,6 +133,7 @@ HEADLINE = [
     "curation_funnel",  # added round 6 (first-failing-stage drop attribution)
     "normalized_dedup",  # added round 6 (near-exact tier: normalized-digest census)
     "leakage_safe_split",  # added round 6 (cluster-atomic train/val/test assignment)
+    "bpe_merge_step",  # added round 6 (BPE vocab-induction step, zero-shuffle merge count)
 ]
 
 

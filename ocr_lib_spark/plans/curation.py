@@ -1623,6 +1623,147 @@ FROM lvl1 GROUP BY norm_digest
 """
 
 
+# --- BPE merge step: vocab induction over the token stream -------------------
+# One step of byte-pair-encoding vocabulary training (Sennrich et al.
+# 2016), recast at whitespace-token granularity (the fixture's
+# alphabet): find the corpus-wide most-frequent ADJACENT token pair,
+# then count per document how many occurrences a leftmost-greedy
+# non-overlapping merge pass would fuse — BPE's exact merge rule, the
+# subtlety being self-pairs (a,a), where a run of L identical tokens
+# yields floor(L/2) merges, not L-1. The loop variant (re-count after
+# each merge) needs stream reconstruction and is out of scope, like
+# ivf_train_loop's unrolling boundary.
+#
+# Scale shape: pair census = one explode + combinable groupBy (hot
+# pairs partial-aggregate map-side); the argmax is THREE chained scalar
+# aggregates (max count -> min first token at that count -> min second
+# token) so the global top-1 never sorts the census; the per-doc merge
+# count is a pure-codegen array HOF over the token array — ZERO
+# shuffle, no python. Deterministic tie-break: lexicographically
+# smallest (a, b) among maximal-count pairs.
+
+#: matches: 0-based positions i with t[i]=pair_a, t[i+1]=pair_b (over
+#: columns t/pair_a/pair_b); greedy pass over column m: take a match
+#: iff it does not share a token with the previously taken one
+#: (position >= last_taken + 2) — for a != b matches never overlap and
+#: greedy == all; for a == b a run of L identical tokens has L-1 match
+#: positions and greedy takes floor(L/2). Module-level so the
+#: off-fixture self-pair test evaluates the SAME expressions the gated
+#: query ships.
+BPE_MATCHES_EXPR = (
+    "CASE WHEN size(t) >= 2 THEN "
+    "filter(sequence(0, cast(size(t) as int) - 2), "
+    "i -> t[i] = pair_a AND t[i+1] = pair_b) "
+    "ELSE cast(array() as array<int>) END"
+)
+BPE_GREEDY_EXPR = (
+    "aggregate(m, struct(CAST(0 AS BIGINT) AS n, CAST(-2 AS BIGINT) AS lt), "
+    "(acc, p) -> IF(p >= acc.lt + 2, "
+    "struct(acc.n + CAST(1 AS BIGINT) AS n, CAST(p AS BIGINT) AS lt), acc), "
+    "acc -> acc.n)"
+)
+
+
+def _q_bpe_merge_step(spark, sf_dir):
+    """Corpus argmax adjacent pair + per-doc leftmost-greedy merge
+    counts for it. Returns one row per doc: tokens before/after, match
+    and merge counts, and the chosen pair as broadcast scalars."""
+    toks = F.split(F.trim("text"), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
+        .localCheckpoint(eager=False)  # feeds the census and the count pass
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, cast(size(t) as int) - 2), "
+                "i -> struct(t[i] AS a, t[i+1] AS b)) "
+                "ELSE cast(array() as array<struct<a:string,b:string>>) END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    census = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+    census = census.localCheckpoint(eager=False)  # three argmax consumers
+    cmax = census.agg(F.max("c").alias("c_max"))
+    amin = (
+        census.crossJoin(F.broadcast(cmax))
+        .where(F.col("c") == F.col("c_max"))
+        .agg(F.min("a").alias("a_min"), F.max("c").alias("c_max"))
+    )
+    best = (
+        census.crossJoin(F.broadcast(amin))
+        .where((F.col("c") == F.col("c_max")) & (F.col("a") == F.col("a_min")))
+        .agg(
+            F.min("b").alias("pair_b"),
+            F.max("a").alias("pair_a"),
+            F.max("c").alias("pair_count"),
+        )
+    )
+    out = d.crossJoin(F.broadcast(best))
+    matches = F.expr(BPE_MATCHES_EXPR)
+    greedy = F.expr(BPE_GREEDY_EXPR)
+    return (
+        out.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            "pair_a",
+            "pair_b",
+            "pair_count",
+            matches.alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pair_a",
+            "pair_b",
+            "pair_count",
+            F.size("m").cast("long").alias("n_matches"),
+            greedy.alias("n_merges"),
+        )
+        .withColumn("n_tokens_after", (F.col("n_tokens") - F.col("n_merges")).cast("long"))
+    )
+
+
+# DuckDB twin: the greedy pass runs as gaps-and-islands over match
+# positions (consecutive positions group by p - row_number(); each
+# island of length L contributes ceil(L/2) = (L+1)//2 merges) —
+# value-identical to the Spark HOF's stateful scan.
+_O_BPE_MERGE_STEP = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents),
+p AS (
+  SELECT t[i+1] AS a, t[i+2] AS b
+  FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM d WHERE len(t) >= 2)),
+census AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM p GROUP BY a, b),
+cmax AS (SELECT MAX(c) AS c_max FROM census),
+amin AS (SELECT MIN(a) AS a_min FROM census, cmax WHERE c = c_max),
+best AS (
+  SELECT a AS pair_a, MIN(b) AS pair_b, MAX(c) AS pair_count
+  FROM census, cmax, amin WHERE c = c_max AND a = a_min GROUP BY a),
+dm AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, bb.pair_a, bb.pair_b, bb.pair_count,
+         list_filter(range(len(t) - 1),
+                     i -> t[i+1] = bb.pair_a AND t[i+2] = bb.pair_b) AS m
+  FROM d, best bb),
+mpos AS (SELECT doc_id, unnest(m) AS pos FROM dm),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM mpos),
+runs AS (SELECT doc_id, grp, COUNT(*)::BIGINT AS L FROM isl GROUP BY doc_id, grp),
+merges AS (SELECT doc_id, SUM((L + 1) // 2)::BIGINT AS n_merges FROM runs GROUP BY doc_id)
+SELECT dm.doc_id, dm.n_tokens, dm.pair_a, dm.pair_b, dm.pair_count,
+       len(dm.m)::BIGINT AS n_matches,
+       COALESCE(mg.n_merges, 0)::BIGINT AS n_merges,
+       (dm.n_tokens - COALESCE(mg.n_merges, 0))::BIGINT AS n_tokens_after
+FROM dm LEFT JOIN merges mg USING (doc_id)
+"""
+
+
 # --- leakage-safe split: cluster-atomic train/val/test assignment ------------
 # The split step that makes near-dup dedup actually protect evals:
 # assigning splits by per-doc hash lets two near-duplicate documents
@@ -1785,5 +1926,10 @@ QUERIES = {
         _q_leakage_safe_split,
         _leakage_safe_split_oracle(),
         "cluster-atomic train/val/test split: near-dups never straddle a boundary",
+    ),
+    "bpe_merge_step": QueryDef(
+        _q_bpe_merge_step,
+        _O_BPE_MERGE_STEP,
+        "BPE vocab-induction step: corpus argmax adjacent pair + greedy per-doc merge counts",
     ),
 }

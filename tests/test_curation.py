@@ -502,3 +502,60 @@ def test_leakage_safe_split_is_cluster_atomic(spark, docs):
         b = int(hashlib.md5(str(r.cluster_rep).encode()).hexdigest()[:15], 16) % 100
         assert r.split_bucket == b
         assert r.split == ("val" if b < 10 else "test" if b < 20 else "train")
+
+
+def test_bpe_merge_step_argmax_and_conservation(spark, docs):
+    """The gated pair is the corpus argmax with the pinned tie-break;
+    per-doc merge counts conserve against an independent python greedy
+    recompute; token counts balance."""
+    from collections import Counter
+
+    from ocr_lib_spark.plans.curation import _q_bpe_merge_step
+
+    rows = {r.doc_id: r for r in _q_bpe_merge_step(spark, SF).collect()}
+    assert len(rows) == docs.count()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    census = Counter()
+    for t in texts.values():
+        toks = [x for x in (t or "").strip().split(" ") if x]
+        census.update(zip(toks, toks[1:]))
+    c_max = max(census.values())
+    want = min(p for p, c in census.items() if c == c_max)
+    any_row = next(iter(rows.values()))
+    assert (any_row.pair_a, any_row.pair_b) == want
+    assert any_row.pair_count == c_max
+    a, b = want
+    for did, r in rows.items():
+        toks = [x for x in (texts[did] or "").strip().split(" ") if x]
+        n_greedy, last = 0, -2
+        n_matches = 0
+        for i in range(len(toks) - 1):
+            if toks[i] == a and toks[i + 1] == b:
+                n_matches += 1
+                if i >= last + 2:
+                    n_greedy, last = n_greedy + 1, i
+        assert (r.n_matches, r.n_merges) == (n_matches, n_greedy)
+        assert r.n_tokens_after == r.n_tokens - r.n_merges == len(toks) - n_greedy
+
+
+def test_bpe_greedy_self_pair_runs_merge_floor_half(spark):
+    """The self-pair (a,a) case the fixture argmax may never exercise:
+    a run of L identical tokens must merge floor(L/2) times (matches =
+    L-1). Evaluates the SAME expressions the gated query ships."""
+    from ocr_lib_spark.plans.curation import BPE_GREEDY_EXPR, BPE_MATCHES_EXPR
+
+    cases = [(L, ["x"] * L + ["y"] + ["x"] * 3) for L in range(1, 7)]
+    df = spark.createDataFrame(
+        [(L, t, "x", "x") for L, t in cases], "L int, t array<string>, pair_a string, pair_b string"
+    )
+    out = {
+        r.L: r
+        for r in df.select(
+            "L", F.expr(BPE_MATCHES_EXPR).alias("m")
+        ).select("L", F.size("m").alias("n_matches"), F.expr(BPE_GREEDY_EXPR).alias("n"))
+        .collect()
+    }
+    for L, toks in cases:
+        # run of L, separator, run of 3: merges = L//2 + 1
+        assert out[L].n == L // 2 + 3 // 2
+        assert out[L].n_matches == max(L - 1, 0) + 2
