@@ -134,6 +134,7 @@ HEADLINE = [
     "normalized_dedup",  # added round 6 (near-exact tier: normalized-digest census)
     "leakage_safe_split",  # added round 6 (cluster-atomic train/val/test assignment)
     "bpe_merge_step",  # added round 6 (BPE vocab-induction step, zero-shuffle merge count)
+    "conv_prefix_dedup",  # added round 6 (branched-session prefix dedup, K-bounded state)
 ]
 
 

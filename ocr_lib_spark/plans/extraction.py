@@ -1219,6 +1219,82 @@ GROUP BY feat_idx
 """
 
 
+# --- conversation prefix dedup: branched/regenerated session detection -------
+# Agent UIs that support "regenerate" or branching re-log the shared
+# opening turns of a session under a new conv_id; training on every
+# branch over-weights the common prefix. Group conversations by the
+# digest of their first PREFIX_K raw turn payloads (BEFORE extraction —
+# the cheap early exit: branch duplicates are dropped before paying the
+# extraction kernel) and report each prefix class with its canonical
+# (minimum) conv_id. The at-scale drop set is the anti-join against the
+# canonicals — the training_mix drop-join shape.
+#
+# Derived fixture (closed form on both engines, the boilerplate
+# convention): conversations whose numeric index % PREFIX_MOD ==
+# PREFIX_RES substitute a fixed per-position opening string for turns
+# turn_idx < PREFIX_K, so ~1/7 of conversations genuinely share a
+# prefix at every sf; all other prefixes are singletons (fixture texts
+# are unique).
+
+PREFIX_K = 3
+PREFIX_MOD = 7
+PREFIX_RES = 3
+PREFIX_TEXT = "opening turn "  # + turn_idx, per position
+
+
+def _q_conv_prefix_dedup(spark, sf_dir):
+    """One row per distinct PREFIX_K-turn opening: how many
+    conversations share it and which is canonical. Scale shape: turns
+    with turn_idx >= PREFIX_K are FILTERED BEFORE the per-conv
+    aggregate, so the collect_list is bounded by PREFIX_K at any
+    conversation length (never the 10^6-turn state hazard); both
+    groupBys are map-side combinable; no join back, no window."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    cidx = F.substring("conv_id", 6, 8).cast("int")
+    txt = F.when(
+        (cidx % PREFIX_MOD == PREFIX_RES) & (F.col("turn_idx") < PREFIX_K),
+        F.concat(F.lit(PREFIX_TEXT), F.col("turn_idx").cast("string")),
+    ).otherwise(F.col("text"))
+    head = tr.where(F.col("turn_idx") < PREFIX_K).select(
+        "conv_id", "turn_idx", F.md5(txt).alias("d")
+    )
+    pfx = head.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "d"))),
+                    lambda s: s.d,
+                ),
+            )
+        ).alias("prefix_digest")
+    )
+    return pfx.groupBy("prefix_digest").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.min("conv_id").alias("canonical_conv_id"),
+    )
+
+
+def _conv_prefix_dedup_oracle() -> str:
+    from ocr_lib_spark.sources.synth import duckdb_transcripts_cte
+
+    return f"""
+WITH tr AS ({duckdb_transcripts_cte()}),
+h AS (
+  SELECT conv_id, turn_idx,
+         md5(CASE WHEN substr(conv_id, 6)::INT % {PREFIX_MOD} = {PREFIX_RES}
+                   AND turn_idx < {PREFIX_K}
+                  THEN '{PREFIX_TEXT}' || turn_idx::VARCHAR
+                  ELSE text END) AS d
+  FROM tr WHERE turn_idx < {PREFIX_K}),
+p AS (
+  SELECT conv_id, md5(string_agg(d, '|' ORDER BY turn_idx)) AS prefix_digest
+  FROM h GROUP BY conv_id)
+SELECT prefix_digest, COUNT(*)::BIGINT AS n_convs, MIN(conv_id) AS canonical_conv_id
+FROM p GROUP BY prefix_digest
+"""
+
+
 QUERIES = {
     "extract_text": QueryDef(
         _q_extract_text,
@@ -1274,6 +1350,11 @@ QUERIES = {
         _q_conv_loop_detect,
         _ORACLE_CONV_LOOP,
         "agent-loop detection: identical-consecutive-turn runs per conversation",
+    ),
+    "conv_prefix_dedup": QueryDef(
+        _q_conv_prefix_dedup,
+        _conv_prefix_dedup_oracle(),
+        "branched-session detection: conversations grouped by first-K-turn prefix digest",
     ),
     "turn_response_dedup": QueryDef(
         _q_turn_response_dedup,

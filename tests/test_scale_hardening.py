@@ -701,3 +701,48 @@ def test_conv_loop_detect_runs_match_independent_recompute(spark):
         assert r.n_loop_turns == sum(x for x in runs if x >= LOOP_MIN_RUN)
         any_loop |= r.n_loop_runs > 0
     assert any_loop
+
+
+def test_conv_prefix_dedup_groups_derived_openings(spark):
+    """~1/7 of conversations share the derived opening; they form ONE
+    prefix class whose canonical is the minimum member; every other
+    conversation is a singleton (fixture texts unique). Recomputed
+    independently in python from the raw transcripts."""
+    import hashlib
+
+    from ocr_lib_spark.plans.extraction import (
+        PREFIX_K,
+        PREFIX_MOD,
+        PREFIX_RES,
+        PREFIX_TEXT,
+        _q_conv_prefix_dedup,
+    )
+    from ocr_lib_spark.sources.synth import transcripts_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.prefix_digest: r for r in _q_conv_prefix_dedup(spark, sf).collect()}
+    tr = transcripts_from_documents(spark, sf).collect()
+    heads: dict = {}
+    for t in tr:
+        if t.turn_idx < PREFIX_K:
+            cidx = int(t.conv_id[5:])
+            txt = (
+                f"{PREFIX_TEXT}{t.turn_idx}"
+                if cidx % PREFIX_MOD == PREFIX_RES
+                else t.text
+            )
+            heads.setdefault(t.conv_id, []).append(
+                (t.turn_idx, hashlib.md5(txt.encode()).hexdigest())
+            )
+    classes: dict = {}
+    for cid, turns in heads.items():
+        pfx = hashlib.md5(
+            "|".join(d for _, d in sorted(turns)).encode()
+        ).hexdigest()
+        classes.setdefault(pfx, []).append(cid)
+    assert set(got) == set(classes)
+    shared = [m for m in classes.values() if len(m) > 1]
+    assert len(shared) == 1 and len(shared[0]) >= 2  # the derived class
+    for pfx, members in classes.items():
+        assert got[pfx].n_convs == len(members)
+        assert got[pfx].canonical_conv_id == min(members)
