@@ -135,6 +135,7 @@ HEADLINE = [
     "leakage_safe_split",  # added round 6 (cluster-atomic train/val/test assignment)
     "bpe_merge_step",  # added round 6 (BPE vocab-induction step, zero-shuffle merge count)
     "conv_prefix_dedup",  # added round 6 (branched-session prefix dedup, K-bounded state)
+    "chunk_overlap",  # added round 6 (sliding-window chunking, closed-form zero-shuffle)
 ]
 
 

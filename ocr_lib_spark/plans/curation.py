@@ -1846,6 +1846,79 @@ FROM b
 """
 
 
+# --- overlapping chunking: sliding-window splits for embedding/index prep ----
+# The step between cleaning and embedding: long documents split into
+# fixed-width token windows with stride overlap (so no boundary loses
+# context), each chunk carrying its token-offset provenance. Chunk
+# boundaries are CLOSED FORM from the per-doc token count — chunk k
+# covers [k*STRIDE, min(k*STRIDE + WIDTH, n)), k in [0, n_chunks) with
+# n_chunks = 1 + ceil(max(n - WIDTH, 0) / STRIDE) — so the whole
+# operator is one pure-codegen transform + explode: ZERO shuffle, no
+# python, provenance exact. Token counts use the engine's standard
+# BPE-ish regex (the token_packing twin).
+
+#: production values would be ~512/384; the gated constants sit inside
+#: the fixture's token-count range (docs run 0-99 BPE tokens) so the
+#: multi-chunk + overlap branches are genuinely exercised at every sf
+#: rather than every doc degenerating to one chunk
+CHUNK_WIDTH = 40
+CHUNK_STRIDE = 30  # 25% overlap
+
+
+def _q_chunk_overlap(spark, sf_dir):
+    """One row per (doc, chunk): token-offset window with stride
+    overlap. Empty docs emit a single empty chunk row (provenance for
+    every doc — the null-text contract)."""
+    from ocr_lib_spark.functions.text import bpe_token_count
+
+    W, S = CHUNK_WIDTH, CHUNK_STRIDE
+    d = _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    n_chunks = F.expr(
+        f"CAST(1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}) AS BIGINT)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, cast(n_chunks as int) - 1), "
+        f"k -> struct(CAST(k AS BIGINT) AS chunk_idx, "
+        f"CAST(k * {S} AS BIGINT) AS start_tok, "
+        f"LEAST(CAST(k * {S} + {W} AS BIGINT), n_tokens) AS end_tok))"
+    )
+    return (
+        d.withColumn("n_chunks", n_chunks)
+        .select("doc_id", "n_tokens", "n_chunks", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chunks",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.end_tok").alias("end_tok"),
+        )
+    )
+
+
+def _chunk_overlap_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    W, S = CHUNK_WIDTH, CHUNK_STRIDE
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{bpe_sql}'))::BIGINT AS n_tokens
+  FROM documents),
+n AS (
+  SELECT doc_id, n_tokens,
+         (1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}))::BIGINT AS n_chunks
+  FROM d)
+SELECT doc_id, n_tokens, n_chunks,
+       k::BIGINT AS chunk_idx,
+       (k * {S})::BIGINT AS start_tok,
+       LEAST(k * {S} + {W}, n_tokens)::BIGINT AS end_tok
+FROM n, LATERAL unnest(range(n_chunks)) AS u(k)
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -1931,5 +2004,10 @@ QUERIES = {
         _q_bpe_merge_step,
         _O_BPE_MERGE_STEP,
         "BPE vocab-induction step: corpus argmax adjacent pair + greedy per-doc merge counts",
+    ),
+    "chunk_overlap": QueryDef(
+        _q_chunk_overlap,
+        _chunk_overlap_oracle(),
+        "sliding-window chunking with stride overlap: token-offset provenance per chunk",
     ),
 }

@@ -559,3 +559,36 @@ def test_bpe_greedy_self_pair_runs_merge_floor_half(spark):
         # run of L, separator, run of 3: merges = L//2 + 1
         assert out[L].n == L // 2 + 3 // 2
         assert out[L].n_matches == max(L - 1, 0) + 2
+
+
+def test_chunk_overlap_tiles_every_document(spark, docs):
+    """Chunks tile each doc: first starts at 0, last ends at n_tokens,
+    consecutive chunks overlap by exactly WIDTH - STRIDE (clamped at
+    the tail), and no token index is uncovered."""
+    from collections import defaultdict
+
+    from ocr_lib_spark.plans.curation import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+        _q_chunk_overlap,
+    )
+
+    rows = _q_chunk_overlap(spark, SF).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.doc_id].append(r)
+    assert len(per) == docs.count()
+    multi = 0
+    for did, ch in per.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        n = ch[0].n_tokens
+        assert [r.chunk_idx for r in ch] == list(range(len(ch)))
+        assert all(r.n_chunks == len(ch) for r in ch)
+        assert ch[0].start_tok == 0 and ch[-1].end_tok == n
+        for a, b in zip(ch, ch[1:]):
+            assert b.start_tok == a.start_tok + CHUNK_STRIDE
+            assert b.start_tok < a.end_tok  # genuine overlap
+        for r in ch:
+            assert r.end_tok == min(r.start_tok + CHUNK_WIDTH, n)
+        multi += len(ch) > 1
+    assert multi > 0  # the fixture exercises the split branch
