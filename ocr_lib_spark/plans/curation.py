@@ -1742,8 +1742,12 @@ census AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM p GROUP BY a, b),
 cmax AS (SELECT MAX(c) AS c_max FROM census),
 amin AS (SELECT MIN(a) AS a_min FROM census, cmax WHERE c = c_max),
 best AS (
-  SELECT a AS pair_a, MIN(b) AS pair_b, MAX(c) AS pair_count
-  FROM census, cmax, amin WHERE c = c_max AND a = a_min GROUP BY a),
+  -- global aggregate, NOT GROUP BY a: an empty census must still yield
+  -- one all-NULL row (mirroring the Spark side's groupBy-less agg) so
+  -- a degenerate all-short-docs corpus emits per-doc zero rows on both
+  -- engines instead of diverging 500-vs-0
+  SELECT MIN(a) AS pair_a, MIN(b) AS pair_b, MAX(c) AS pair_count
+  FROM census, cmax, amin WHERE c = c_max AND a = a_min),
 dm AS (
   SELECT doc_id, len(t)::BIGINT AS n_tokens, bb.pair_a, bb.pair_b, bb.pair_count,
          list_filter(range(len(t) - 1),

@@ -592,3 +592,33 @@ def test_chunk_overlap_tiles_every_document(spark, docs):
             assert r.end_tok == min(r.start_tok + CHUNK_WIDTH, n)
         multi += len(ch) > 1
     assert multi > 0  # the fixture exercises the split branch
+
+
+def test_bpe_merge_step_degenerate_corpus_twin(spark, tmp_path):
+    """All-short-docs corpus (no adjacent pair anywhere): BOTH engines
+    must emit one row per doc with a NULL pair and zero merges — the
+    oracle's `best` CTE is a global aggregate, not GROUP BY, precisely
+    so the empty census yields one NULL row instead of zero rows."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_lib_spark.plans.curation import _O_BPE_MERGE_STEP, _q_bpe_merge_step
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["solo", "", "one"], "source": ["s"] * 3}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = _q_bpe_merge_step(spark, str(tmp_path)).orderBy("doc_id").collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.pair_a is None and r.pair_b is None and r.pair_count is None
+        assert r.n_matches == 0 and r.n_merges == 0
+        assert r.n_tokens_after == r.n_tokens
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(_O_BPE_MERGE_STEP).df().sort_values("doc_id")
+    assert len(odf) == 3
+    assert odf["pair_a"].isna().all() and odf["n_merges"].eq(0).all()
