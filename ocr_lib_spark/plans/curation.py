@@ -1458,6 +1458,29 @@ def _q_curation_funnel_census(spark, sf_dir):
     )
 
 
+def _q_curation_funnel_by_source(spark, sf_dir):
+    """The mixture-health view: funnel stage census per SOURCE — which
+    corpora are duplicate-heavy, which fail quality, what survives —
+    plus an integer keep rate. One doc_id-keyed join onto the funnel
+    frame and one combinable groupBy; output rows = #sources (a layout
+    constant, never corpus-scale)."""
+    f = _funnel_frame(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    stage_n = [
+        F.sum((F.col("stage") == st).cast("int")).cast("long").alias(f"n_{st}")
+        for st in FUNNEL_STAGES
+    ]
+    return (
+        f.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"), *stage_n)
+        .withColumn(
+            "kept_ppm",
+            F.expr(f"CAST(n_kept * {_PPM} DIV n_docs AS BIGINT)"),
+        )
+    )
+
+
 def _funnel_oracle_ctes() -> str:
     from ocr_lib_spark.plans.textops import (
         DECON_HOLDOUT_MOD,
@@ -1539,6 +1562,22 @@ def _curation_funnel_census_oracle() -> str:
 SELECT stage, COUNT(*)::BIGINT AS n_docs, SUM(n_words)::BIGINT AS n_words_total,
        MIN(doc_id)::BIGINT AS first_doc_id
 FROM funnel GROUP BY stage
+"""
+    )
+
+
+def _curation_funnel_by_source_oracle() -> str:
+    stage_cols = ",\n       ".join(
+        f"SUM((stage = '{st}')::INT)::BIGINT AS n_{st}" for st in FUNNEL_STAGES
+    )
+    return (
+        _funnel_oracle_ctes()
+        + f"""
+SELECT s.source, COUNT(*)::BIGINT AS n_docs,
+       {stage_cols},
+       (SUM((stage = 'kept')::INT)::HUGEINT * {_PPM} // COUNT(*))::BIGINT AS kept_ppm
+FROM funnel f JOIN documents s ON f.doc_id = s.doc_id
+GROUP BY s.source
 """
     )
 
@@ -1993,6 +2032,11 @@ QUERIES = {
         _q_curation_funnel_census,
         _curation_funnel_census_oracle(),
         "per-stage funnel census: docs/words dropped at each cleaning gate",
+    ),
+    "curation_funnel_by_source": QueryDef(
+        _q_curation_funnel_by_source,
+        _curation_funnel_by_source_oracle(),
+        "mixture health: funnel stage census + keep rate per source corpus",
     ),
     "normalized_dedup": QueryDef(
         _q_normalized_dedup,

@@ -622,3 +622,28 @@ def test_bpe_merge_step_degenerate_corpus_twin(spark, tmp_path):
     odf = con.execute(_O_BPE_MERGE_STEP).df().sort_values("doc_id")
     assert len(odf) == 3
     assert odf["pair_a"].isna().all() and odf["n_merges"].eq(0).all()
+
+
+def test_curation_funnel_by_source_matches_per_doc_frame(spark, docs):
+    """Per-source stage counts are exactly the per-doc funnel frame
+    re-aggregated, and the keep rate is the integer ppm floor."""
+    from collections import Counter, defaultdict
+
+    from ocr_lib_spark.plans.curation import (
+        FUNNEL_STAGES,
+        _q_curation_funnel,
+        _q_curation_funnel_by_source,
+    )
+
+    per_doc = {r.doc_id: r.stage for r in _q_curation_funnel(spark, SF).collect()}
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    want: dict = defaultdict(Counter)
+    for did, stage in per_doc.items():
+        want[src[did]][stage] += 1
+    got = {r.source: r for r in _q_curation_funnel_by_source(spark, SF).collect()}
+    assert set(got) == set(want)
+    for s, r in got.items():
+        assert r.n_docs == sum(want[s].values())
+        for st in FUNNEL_STAGES:
+            assert getattr(r, f"n_{st}") == want[s][st]
+        assert r.kept_ppm == want[s]["kept"] * 1_000_000 // r.n_docs
