@@ -75,9 +75,22 @@ def main() -> None:
 
     passes: list[dict] = []
     for i in range(pairs):
-        cur = _run_bench(REPO)
-        con = _run_bench(ctrl)
-        passes.append({"pass": i, "current": cur, "control": con})
+        # ARM-ORDER ROTATION (round-6 run-2 finding): with a fixed
+        # current-first order, the first arm of every pass eats any
+        # cold-start cost (page cache, corpus build) and the second arm
+        # inherits a warmed host — a systematic bias the interleaving
+        # itself cannot cancel. Alternate which side runs first so the
+        # first-runner penalty lands on each arm equally across pairs.
+        if i % 2 == 0:
+            cur = _run_bench(REPO)
+            con = _run_bench(ctrl)
+        else:
+            con = _run_bench(ctrl)
+            cur = _run_bench(REPO)
+        passes.append(
+            {"pass": i, "first_arm": "current" if i % 2 == 0 else "control",
+             "current": cur, "control": con}
+        )
         print(
             json.dumps(
                 {
