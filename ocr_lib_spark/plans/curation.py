@@ -1962,6 +1962,85 @@ FROM n, LATERAL unnest(range(n_chunks)) AS u(k)
 """
 
 
+# --- training corpus export: the composed end-to-end of the round-6 suite ----
+# What the curation layer ships to the trainer, as ONE plan built from
+# the independently-gated operators: keep only documents the funnel
+# passes clean (stage = kept: not eval-holdout, not a duplicate,
+# quality-passing, uncontaminated), restrict to the leakage-safe TRAIN
+# split (cluster-atomic — no near-dup of a val/test doc can leak in),
+# and export the survivors as overlapping chunks with token-offset
+# provenance. The conv_training_mix convention: every stage reuses the
+# gated operator verbatim; the composition is two selective doc_id
+# semi-joins (uniform key), so the plan inherits each stage's scale
+# arguments unchanged.
+
+
+def _q_training_corpus_export(spark, sf_dir):
+    """Funnel-kept ∩ train-split documents as overlapping chunks."""
+    kept = (
+        _funnel_frame(spark, sf_dir)
+        .where(F.col("stage") == "kept")
+        .select("doc_id")
+    )
+    train = (
+        _q_leakage_safe_split(spark, sf_dir)
+        .where(F.col("split") == "train")
+        .select("doc_id")
+    )
+    return (
+        _q_chunk_overlap(spark, sf_dir)
+        .join(kept, "doc_id", "left_semi")
+        .join(train, "doc_id", "left_semi")
+    )
+
+
+def _training_corpus_export_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+    from ocr_lib_spark.plans.textops import _near_dup_verified_oracle
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    W, S = CHUNK_WIDTH, CHUNK_STRIDE
+    funnel = _funnel_oracle_ctes().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    return (
+        funnel
+        + f""",
+vp AS ({_near_dup_verified_oracle()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+sb AS (
+  SELECT dd.doc_id,
+         (('0x' || substr(md5(COALESCE(l.cluster_id, dd.doc_id)::VARCHAR), 1, 15))::BIGINT
+          % 100) AS split_bucket
+  FROM documents dd LEFT JOIN lab l ON dd.doc_id = l.doc_id),
+elig AS (
+  SELECT f.doc_id FROM funnel f JOIN sb ON f.doc_id = sb.doc_id
+  WHERE f.stage = 'kept'
+    AND sb.split_bucket >= {SPLIT_VAL_PCT + SPLIT_TEST_PCT}),
+cd AS (
+  SELECT e.doc_id,
+         len(regexp_extract_all(dd.text, '{bpe_sql}'))::BIGINT AS n_tokens
+  FROM elig e JOIN documents dd ON e.doc_id = dd.doc_id),
+cn AS (
+  SELECT doc_id, n_tokens,
+         (1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}))::BIGINT AS n_chunks
+  FROM cd)
+SELECT doc_id, n_tokens, n_chunks,
+       k::BIGINT AS chunk_idx,
+       (k * {S})::BIGINT AS start_tok,
+       LEAST(k * {S} + {W}, n_tokens)::BIGINT AS end_tok
+FROM cn, LATERAL unnest(range(n_chunks)) AS u(k)
+"""
+    )
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -2057,5 +2136,10 @@ QUERIES = {
         _q_chunk_overlap,
         _chunk_overlap_oracle(),
         "sliding-window chunking with stride overlap: token-offset provenance per chunk",
+    ),
+    "training_corpus_export": QueryDef(
+        _q_training_corpus_export,
+        _training_corpus_export_oracle(),
+        "composed export: funnel-kept, leakage-safe-train documents as overlapping chunks",
     ),
 }

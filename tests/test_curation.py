@@ -647,3 +647,35 @@ def test_curation_funnel_by_source_matches_per_doc_frame(spark, docs):
         for st in FUNNEL_STAGES:
             assert getattr(r, f"n_{st}") == want[s][st]
         assert r.kept_ppm == want[s]["kept"] * 1_000_000 // r.n_docs
+
+
+def test_training_corpus_export_is_exact_composition(spark):
+    """The export equals chunk_overlap restricted to funnel-kept AND
+    train-split doc ids — the composition adds selection, never
+    mutation."""
+    from ocr_lib_spark.plans.curation import (
+        _q_chunk_overlap,
+        _q_curation_funnel,
+        _q_leakage_safe_split,
+        _q_training_corpus_export,
+    )
+
+    kept = {
+        r.doc_id for r in _q_curation_funnel(spark, SF).collect() if r.stage == "kept"
+    }
+    train = {
+        r.doc_id
+        for r in _q_leakage_safe_split(spark, SF).collect()
+        if r.split == "train"
+    }
+    want = {
+        (r.doc_id, r.chunk_idx, r.start_tok, r.end_tok)
+        for r in _q_chunk_overlap(spark, SF).collect()
+        if r.doc_id in kept and r.doc_id in train
+    }
+    got = {
+        (r.doc_id, r.chunk_idx, r.start_tok, r.end_tok)
+        for r in _q_training_corpus_export(spark, SF).collect()
+    }
+    assert got == want and want  # non-empty at the fixture
+    assert {d for d, *_ in got} <= kept & train
