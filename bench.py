@@ -1,10 +1,12 @@
 """Benchmark harness.
 
-Prints the full record (with per-level per-pair samples) to a sidecar
-file + a first stdout line, then ONE COMPACT JSON line LAST (what the
-harness's bounded tail capture parses — see main()):
+Prints the full record (per-query dict, per-level per-pair samples) to
+a sidecar file + a first stdout line, then ONE COMPACT JSON line LAST,
+hard-capped under 1 KB so it survives the harness's bounded (~2000
+char) stdout-tail capture at ANY battery size (see main()):
   {"metric": "total_bench_seconds", "value": <sum of headline query secs>,
-   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+   "unit": "sec", "queries_timed": <n>, "slowest": {name: sec, x5},
+   "sf": <sf>,
    "extraction": {"turns": N,
                   "turns_per_sec_low": ..., "turns_per_sec_high": ...,
                   "scaling_efficiency": thr(4N) / (4 * thr(N)),
@@ -281,6 +283,15 @@ def run_headline(spark) -> dict[str, float]:
     ).agg(F.count("*")).collect()
 
     qs = entry_mod.queries()
+    # Battery warm-up (round 7, VERDICT r6 item 2): the position-0
+    # entry used to absorb the remaining session/registry spin-up
+    # (table reads beyond `documents`, first codegen, registry import)
+    # and read 1.3-1.9x in paired runs while the dedicated harness
+    # showed it faster. One untimed full execution of the first
+    # battery query before the timed loop puts position 0 on the same
+    # steady-state footing as every later entry.
+    qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     out: dict[str, float] = {}
     for name in HEADLINE:
         best = None
@@ -423,27 +434,42 @@ def main() -> None:
         "sf": Path(SF_DIR).name,
         "extraction": {**ext_summary, "levels": levels},
     }
-    # Emission protocol (round 5): the external harness records a
-    # FIXED-SIZE TAIL of stdout and parses the last JSON line — r04's
-    # single line (with per-pair sample arrays) outgrew the capture and
-    # the official record failed to parse. So: the FULL record (every
-    # per-pair sample, per-level seconds) goes to a sidecar file and a
-    # preceding stdout line; the LAST line is a compact summary —
-    # per-query seconds at 2dp plus the extraction summary without the
-    # per-level detail — sized well under the tail window.
+    # Emission protocol (round 7; supersedes rounds 4/5): the external
+    # harness records a FIXED-SIZE (~2000 char) TAIL of stdout and
+    # parses the last JSON line. r04's single fat line (per-pair sample
+    # arrays) and r06's "compact" line (a per-query dict that grows
+    # with the battery — ~72 entries put the line past the tail window,
+    # truncating the capture mid-record) BOTH came back `parsed: null`.
+    # The prior fix assumed a fixed battery size; this one does not:
+    # the LAST line is hard-capped under 1 KB regardless of battery
+    # growth — battery total + query count + the 5 slowest entries
+    # only. The full per-query dict and per-level extraction detail
+    # live in the sidecar file and the preceding stdout line.
     sidecar = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
     sidecar.parent.mkdir(exist_ok=True)
     sidecar.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in queries.items()),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     compact = {
         "metric": "total_bench_seconds",
         "value": round(sum(queries.values()), 2),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "queries_timed": len(queries),
+        "slowest": slowest,
         "sf": Path(SF_DIR).name,
         "extraction": {**ext_summary, "detail": "BENCH/last_run_full.json"},
+        "per_query_detail": "BENCH/last_run_full.json (queries dict)",
     }
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    if len(line) > 1000:  # belt-and-braces: never outgrow the tail again
+        compact.pop("slowest", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

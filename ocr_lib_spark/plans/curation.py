@@ -1340,6 +1340,11 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 FUNNEL_BOILER_MOD = 9
 FUNNEL_BOILER_RES = 4
 FUNNEL_BOILER_TEXT = "Thanks for your request. Please see the attached summary."
+#: oracle-side escaped twin (ADVICE r6): the constant is interpolated
+#: into SQL string literals; an apostrophe in a future edit must not
+#: break (or silently alter) the oracle while the Spark side keeps
+#: working. Always interpolate the _SQL twin into oracle text.
+FUNNEL_BOILER_TEXT_SQL = FUNNEL_BOILER_TEXT.replace("'", "''")
 #: frequency-split threshold for the dup keep-first join-back (shared
 #: convention with unigram_surprisal): digests with count * DENOM >
 #: corpus size are "hot" — by pigeonhole there are <= DENOM of them, so
@@ -1493,7 +1498,7 @@ def _funnel_oracle_ctes() -> str:
 WITH d AS (
   SELECT doc_id,
          CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
-              THEN '{FUNNEL_BOILER_TEXT}' ELSE COALESCE(text, '') END AS txt
+              THEN '{FUNNEL_BOILER_TEXT_SQL}' ELSE COALESCE(text, '') END AS txt
   FROM documents),
 keep AS (
   SELECT md5(txt) AS digest, MIN(doc_id) AS keep_id FROM d GROUP BY md5(txt)),
@@ -1600,6 +1605,7 @@ GROUP BY s.source
 
 NORM_VARIANT_RES = 7
 NORM_VARIANT_TEXT = FUNNEL_BOILER_TEXT.upper() + "  !!"
+NORM_VARIANT_TEXT_SQL = NORM_VARIANT_TEXT.replace("'", "''")  # see _SQL twin note above
 
 
 def _q_normalized_dedup(spark, sf_dir):
@@ -1643,9 +1649,9 @@ _O_NORMALIZED_DEDUP = f"""
 WITH d AS (
   SELECT doc_id,
          CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
-                THEN '{FUNNEL_BOILER_TEXT}'
+                THEN '{FUNNEL_BOILER_TEXT_SQL}'
               WHEN doc_id % {FUNNEL_BOILER_MOD} = {NORM_VARIANT_RES}
-                THEN '{NORM_VARIANT_TEXT}'
+                THEN '{NORM_VARIANT_TEXT_SQL}'
               ELSE COALESCE(text, '') END AS txt
   FROM documents),
 per AS (
@@ -1918,8 +1924,15 @@ def _q_chunk_overlap(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id", bpe_token_count("text").cast("long").alias("n_tokens")
     )
+    # Integer-exact ceiling (ADVICE r6): CEIL(x / S) was the contract's
+    # only float division, and DuckDB's `/` floors or not depending on
+    # its integer_division setting (which also changed across
+    # versions) — with integer division active the quotient floors
+    # BEFORE CEIL and the oracle under-counts chunks. (a + S - 1) DIV S
+    # is exact on both engines with no settings dependence. DIV is
+    # fully parenthesized (it binds left-assoc with *).
     n_chunks = F.expr(
-        f"CAST(1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}) AS BIGINT)"
+        f"CAST(1 + ((GREATEST(n_tokens - {W}, 0) + {S} - 1) DIV {S}) AS BIGINT)"
     )
     chunks = F.expr(
         f"transform(sequence(0, cast(n_chunks as int) - 1), "
@@ -1952,7 +1965,7 @@ WITH d AS (
   FROM documents),
 n AS (
   SELECT doc_id, n_tokens,
-         (1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}))::BIGINT AS n_chunks
+         (1 + ((GREATEST(n_tokens - {W}, 0) + {S} - 1) // {S}))::BIGINT AS n_chunks
   FROM d)
 SELECT doc_id, n_tokens, n_chunks,
        k::BIGINT AS chunk_idx,
@@ -2030,7 +2043,7 @@ cd AS (
   FROM elig e JOIN documents dd ON e.doc_id = dd.doc_id),
 cn AS (
   SELECT doc_id, n_tokens,
-         (1 + CEIL(GREATEST(n_tokens - {W}, 0) / {S}))::BIGINT AS n_chunks
+         (1 + ((GREATEST(n_tokens - {W}, 0) + {S} - 1) // {S}))::BIGINT AS n_chunks
   FROM cd)
 SELECT doc_id, n_tokens, n_chunks,
        k::BIGINT AS chunk_idx,

@@ -1240,6 +1240,9 @@ PREFIX_K = 3
 PREFIX_MOD = 7
 PREFIX_RES = 3
 PREFIX_TEXT = "opening turn "  # + turn_idx, per position
+#: oracle-side escaped twin (ADVICE r6) — interpolate only this into
+#: SQL literals so a future apostrophe can't break the oracle silently
+PREFIX_TEXT_SQL = PREFIX_TEXT.replace("'", "''")
 
 
 def _q_conv_prefix_dedup(spark, sf_dir):
@@ -1250,7 +1253,12 @@ def _q_conv_prefix_dedup(spark, sf_dir):
     conversation length (never the 10^6-turn state hazard); both
     groupBys are map-side combinable; no join back, no window."""
     tr = transcripts_from_documents(spark, sf_dir)
-    cidx = F.substring("conv_id", 6, 8).cast("int")
+    # Parse the conv index IDENTICALLY to the oracle (ADVICE r6):
+    # position 6 to END of string, cast to long — not a fixed 8-char
+    # window. If N_CONVS ever reaches 1e8 the printf('%08d') field
+    # widens; a bounded substring would truncate digits on the Spark
+    # side only, silently diverging the derived prefix class.
+    cidx = F.expr("substring(conv_id, 6)").cast("long")
     txt = F.when(
         (cidx % PREFIX_MOD == PREFIX_RES) & (F.col("turn_idx") < PREFIX_K),
         F.concat(F.lit(PREFIX_TEXT), F.col("turn_idx").cast("string")),
@@ -1282,9 +1290,9 @@ def _conv_prefix_dedup_oracle() -> str:
 WITH tr AS ({duckdb_transcripts_cte()}),
 h AS (
   SELECT conv_id, turn_idx,
-         md5(CASE WHEN substr(conv_id, 6)::INT % {PREFIX_MOD} = {PREFIX_RES}
+         md5(CASE WHEN substr(conv_id, 6)::BIGINT % {PREFIX_MOD} = {PREFIX_RES}
                    AND turn_idx < {PREFIX_K}
-                  THEN '{PREFIX_TEXT}' || turn_idx::VARCHAR
+                  THEN '{PREFIX_TEXT_SQL}' || turn_idx::VARCHAR
                   ELSE text END) AS d
   FROM tr WHERE turn_idx < {PREFIX_K}),
 p AS (

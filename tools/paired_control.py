@@ -51,7 +51,16 @@ def _run_bench(cwd: Path) -> dict:
     lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
     if r.returncode != 0 or not lines:
         raise SystemExit(f"bench failed in {cwd}: rc={r.returncode}\n{r.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    # Round 7: the LAST stdout line is the driver-facing <1 KB summary
+    # (no per-query dict any more); the per-query record we pair on is
+    # the full-record line / sidecar. Pick the newest line that carries
+    # a per-query "queries" dict (control worktrees at older commits
+    # still emit it last — this handles both formats).
+    for line in reversed(lines):
+        rec = json.loads(line)
+        if isinstance(rec.get("queries"), dict):
+            return rec
+    raise SystemExit(f"no bench line with a queries dict in {cwd}")
 
 
 def _ensure_worktree(commit: str) -> Path:
