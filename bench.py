@@ -138,6 +138,7 @@ HEADLINE = [
     "bpe_merge_step",  # added round 6 (BPE vocab-induction step, zero-shuffle merge count)
     "conv_prefix_dedup",  # added round 6 (branched-session prefix dedup, K-bounded state)
     "chunk_overlap",  # added round 6 (sliding-window chunking, closed-form zero-shuffle)
+    "substring_scrub",  # added round 7 (unaligned repeated-substring removal, Lee et al. class)
 ]
 
 

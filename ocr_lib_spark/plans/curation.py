@@ -796,6 +796,182 @@ FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 """
 
 
+# --- exact substring scrub (suffix-array class, Lee et al. 2022) -------------
+# Cross-document repeated-SUBSTRING removal at K-token granularity —
+# the dedup tier ``segment_scrub`` cannot reach: that operator hashes
+# non-overlapping SEG_K-aligned segments, so a repeated run that
+# straddles a segment boundary (an UNALIGNED repeat) survives it.
+# Here every doc emits its full sliding window of K-token grams
+# (the distributed stand-in for the suffix-array scan of
+# "Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022, at K-token match granularity); the globally FIRST
+# occurrence of each gram (MIN(doc_id, pos)) is the keeper, every
+# other occurrence marks its K token positions for removal, and each
+# affected document is rebuilt from its surviving token stream.
+# Contract (deterministic, closed form on both engines): a token is
+# removed iff it is covered by at least one non-first-occurrence gram;
+# scrubbed_text is the single-space rejoin of the kept tokens.
+#
+# Scale shape: the gram table is ~n_tokens rows (one per token, fixed
+# width: 32-hex md5 + two ids) — linear in corpus size, ONE shuffle on
+# the gram hash; the keeper is a groupBy(h) MIN(struct) — map-side
+# combinable, never a window over the hash key (template boilerplate
+# is exactly the hot-key case; the g⋈keeper equi-join is AQE
+# skew-splittable). Everything after the marked set is bounded by the
+# DUPLICATION RATE, not the corpus: only docs with ≥1 marked gram
+# enter the token-explode/rebuild path (left-semi gate), their
+# coverage explode is K× the marked-gram count, and the per-doc
+# rebuild collect_list is bounded by document length — untouched docs
+# take the pure-map fast path. No driver collect anywhere.
+#
+# Derived fixture (closed form on both engines — fixture texts are
+# unique, the boilerplate convention): docs with doc_id % SCRUB_MOD ==
+# SCRUB_RES are prefixed with (doc_id % SCRUB_PAD_MOD) pad tokens and
+# then a shared SCRUB_RUN_N-token run, so the same ≥K-token substring
+# recurs across docs at VARYING token offsets — unaligned by
+# construction, which is the exact case segment-level hashing misses.
+
+#: production match granularity per Lee et al. is ~50 tokens; the
+#: gated constant sits inside the fixture's 0-99-token doc range so
+#: multi-gram coverage and the rebuild branch are genuinely exercised
+SCRUB_K = 25
+SCRUB_MOD = 11
+SCRUB_RES = 5
+SCRUB_PAD_MOD = 4  # 0-3 pad tokens -> distinct (unaligned) run offsets
+SCRUB_RUN_N = 30
+SCRUB_RUN_TEXT = " ".join(f"shared run token {i:02d}" for i in range(0, SCRUB_RUN_N, 4))
+#: oracle-side escaped twin (the _SQL convention — see FUNNEL_BOILER_TEXT_SQL)
+SCRUB_RUN_TEXT_SQL = SCRUB_RUN_TEXT.replace("'", "''")
+
+
+def _scrub_docs(spark, sf_dir):
+    """documents with the derived shared-run injection applied; the
+    common scan for _q_substring_scrub (tokenized, checkpointed once)."""
+    base = _docs(spark, sf_dir)
+    padded = F.concat(
+        F.expr(f"repeat('pad ', cast(doc_id % {SCRUB_PAD_MOD} as int))"),
+        F.lit(SCRUB_RUN_TEXT),
+        F.lit(" "),
+        F.coalesce("text", F.lit("")),
+    )
+    txt = F.when(F.col("doc_id") % SCRUB_MOD == SCRUB_RES, padded).otherwise(
+        F.coalesce("text", F.lit(""))
+    )
+    return base.select("doc_id", F.split(F.trim(txt), " ").alias("toks"))
+
+
+def _q_substring_scrub(spark, sf_dir):
+    """One row per document: text with every non-first-occurrence
+    K-token substring removed, plus token-conservation counters
+    (n_tokens = kept + removed; pinned by test_substring_scrub)."""
+    return substring_scrub_frame(_scrub_docs(spark, sf_dir))
+
+
+def substring_scrub_frame(t, K: int = SCRUB_K):
+    """(doc_id, toks) frame -> per-doc scrub output; see
+    _q_substring_scrub. Split out so degenerate inputs (within-doc
+    overlapping self-repeats, fully-covered docs, short/empty text)
+    are unit-testable off-fixture."""
+    t = t.localCheckpoint(eager=False)
+    # sliding K-gram hashes; pos is the 0-based token offset
+    g = (
+        t.where(F.size("toks") >= K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {K}), "
+                    f"p -> md5(concat_ws(' ', slice(toks, p + 1, {K}))))"
+                )
+            ).alias("pos", "h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keeper = g.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    marked = (
+        g.join(keeper, "h")
+        .where(
+            (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("pos") != F.col("k.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # covered token indices (distinct: overlapping marked grams)
+    cov = marked.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {K} - 1)")).alias("ti")
+    ).distinct()
+    cov = cov.localCheckpoint(eager=False)
+    rem = cov.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_removed"))
+    # rebuild ONLY affected docs (duplication-rate bounded)
+    tokd = (
+        t.join(cov.select("doc_id").distinct(), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("toks").alias("ti", "tok"))
+    )
+    reb = (
+        tokd.join(cov, ["doc_id", "ti"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(ti, tok))), x -> x.tok)"),
+            ).alias("scrubbed")
+        )
+    )
+    return (
+        t.join(rem, "doc_id", "left")
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_removed").isNull(), F.concat_ws(" ", "toks"))
+            .otherwise(F.coalesce("scrubbed", F.lit("")))
+            .alias("scrubbed_text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def _substring_scrub_oracle() -> str:
+    K = SCRUB_K
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SCRUB_MOD} = {SCRUB_RES}
+              THEN repeat('pad ', (doc_id % {SCRUB_PAD_MOD})::INT)
+                   || '{SCRUB_RUN_TEXT_SQL}' || ' ' || COALESCE(text, '')
+              ELSE COALESCE(text, '') END AS txt
+  FROM documents),
+t AS (SELECT doc_id, string_split(trim(txt), ' ') AS toks FROM d0),
+g AS (
+  SELECT doc_id, u.k::INT AS pos,
+         md5(array_to_string(list_slice(toks, u.k + 1, u.k + {K}), ' ')) AS h
+  FROM t, LATERAL unnest(range(len(toks) - {K} + 1)) AS u(k)
+  WHERE len(toks) >= {K}),
+r AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM g),
+cov AS (SELECT DISTINCT doc_id, pos + u.k AS ti
+        FROM r, LATERAL unnest(range({K})) AS u(k) WHERE rn > 1),
+rem AS (SELECT doc_id, COUNT(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id),
+tok AS (SELECT t.doc_id, u.k AS ti, toks[u.k::INT + 1] AS tok
+        FROM t, LATERAL unnest(range(len(toks))) AS u(k)
+        WHERE t.doc_id IN (SELECT doc_id FROM cov)),
+kept AS (SELECT tok.doc_id, tok.ti, tok.tok
+         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+         WHERE cov.doc_id IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS scrubbed
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN rem.doc_id IS NULL THEN array_to_string(toks, ' ')
+            ELSE COALESCE(reb.scrubbed, '') END AS scrubbed_text,
+       len(toks)::BIGINT AS n_tokens,
+       COALESCE(rem.n_removed, 0)::BIGINT AS n_removed
+FROM t
+LEFT JOIN rem ON t.doc_id = rem.doc_id
+LEFT JOIN reb ON t.doc_id = reb.doc_id
+"""
+
+
 def _q_shard_manifest(spark, sf_dir):
     """Output-shard manifest — the integrity record the write side of a
     training-data pipeline emits next to each shard (the durable-sink
@@ -2089,6 +2265,11 @@ QUERIES = {
         _q_segment_scrub,
         _segment_scrub_oracle(),
         "C4-style segment scrub with document reconstruction (keep first occurrence corpus-wide)",
+    ),
+    "substring_scrub": QueryDef(
+        _q_substring_scrub,
+        _substring_scrub_oracle(),
+        "exact UNALIGNED repeated-substring removal at K-token granularity (Lee et al. 2022 class)",
     ),
     "shard_manifest": QueryDef(
         _q_shard_manifest,

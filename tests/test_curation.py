@@ -679,3 +679,88 @@ def test_training_corpus_export_is_exact_composition(spark):
     }
     assert got == want and want  # non-empty at the fixture
     assert {d for d, *_ in got} <= kept & train
+
+
+def test_substring_scrub_token_conservation_and_unaligned_removal(spark, docs):
+    """Token conservation (n_tokens == kept + removed) for every doc,
+    and the fixture's UNALIGNED shared run (varying pad offsets) is
+    actually detected and removed from non-first carriers."""
+    from ocr_lib_spark.plans.curation import (
+        SCRUB_MOD,
+        SCRUB_PAD_MOD,
+        SCRUB_RES,
+        SCRUB_RUN_TEXT,
+        _q_substring_scrub,
+    )
+
+    out = {r.doc_id: r for r in _q_substring_scrub(spark, SF).collect()}
+    src = {r.doc_id: (r.text or "") for r in docs.collect()}
+    assert set(out) == set(src)
+    affected = sorted(d for d in src if d % SCRUB_MOD == SCRUB_RES)
+    assert len(affected) >= 2
+    for doc_id, r in out.items():
+        # reproduce the derived input token stream
+        if doc_id % SCRUB_MOD == SCRUB_RES:
+            txt = ("pad " * (doc_id % SCRUB_PAD_MOD)) + SCRUB_RUN_TEXT + " " + src[doc_id]
+        else:
+            txt = src[doc_id]
+        toks = txt.strip().split(" ")
+        assert r.n_tokens == len(toks)
+        kept = r.scrubbed_text.split(" ") if r.scrubbed_text else []
+        # conservation; '' rejoins the [''] single-token stream (edge)
+        assert len(kept) == r.n_tokens - r.n_removed or (
+            r.scrubbed_text == "" and r.n_tokens - r.n_removed == 1
+        )
+        # kept tokens are a subsequence of the input token stream
+        it = iter(toks)
+        assert all(tok in it for tok in kept)
+    # the first carrier keeps its run; at least one later carrier loses
+    # the full shared run (the unaligned repeat segment hashing misses)
+    run = SCRUB_RUN_TEXT
+    assert run in out[affected[0]].scrubbed_text
+    losers = [d for d in affected[1:] if run not in out[d].scrubbed_text]
+    assert losers, "no later carrier lost the shared run"
+    for d in affected[1:]:
+        assert out[d].n_removed > 0
+
+
+def test_substring_scrub_frame_self_repeat_and_full_coverage(spark):
+    """Off-fixture degenerate inputs through the frame API: within-doc
+    overlapping self-repeats (the suffix-array hard case), a doc that
+    is one exact copy of another (fully covered -> empty scrub), short
+    docs below K (untouchable), and empty text."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.plans.curation import substring_scrub_frame
+
+    K = 4
+    rows = [
+        # doc 0: 'a b c d' repeated 3x -> overlapping self-repeats;
+        # first K-gram occurrence kept, rest of the stream covered
+        (0, " ".join(["a b c d"] * 3)),
+        (1, "a b c d"),              # exact sub-copy of doc 0's opener -> fully covered
+        (2, "x y z"),                # < K tokens: no grams, untouched
+        (3, ""),                     # empty text
+        (4, "p q r s t u v w"),      # unique content, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = df.select("doc_id", F.split(F.trim(F.coalesce("text", F.lit(""))), " ").alias("toks"))
+    out = {r.doc_id: r for r in substring_scrub_frame(t, K=K).collect()}
+
+    # doc 0 keeps exactly its first K tokens: every gram at pos>0 is a
+    # repeat of an earlier occurrence (pos 0, 4, 8 equal; 1,5 equal; ...)
+    assert out[0].scrubbed_text == "a b c d"
+    assert out[0].n_tokens == 12 and out[0].n_removed == 8
+    # doc 1 is entirely a non-first occurrence -> fully covered
+    assert out[1].scrubbed_text == "" and out[1].n_removed == 4
+    # short + unique docs untouched
+    assert out[2].scrubbed_text == "x y z" and out[2].n_removed == 0
+    assert out[4].scrubbed_text == "p q r s t u v w" and out[4].n_removed == 0
+    # empty text: split('') yields [''] on both engines (documented edge)
+    assert out[3].scrubbed_text == "" and out[3].n_removed == 0
+    # conservation holds everywhere
+    for r in out.values():
+        kept = r.scrubbed_text.split(" ") if r.scrubbed_text else []
+        assert len(kept) == r.n_tokens - r.n_removed or (
+            r.scrubbed_text == "" and r.n_tokens - r.n_removed == 1
+        )
