@@ -139,6 +139,7 @@ HEADLINE = [
     "conv_prefix_dedup",  # added round 6 (branched-session prefix dedup, K-bounded state)
     "chunk_overlap",  # added round 6 (sliding-window chunking, closed-form zero-shuffle)
     "substring_scrub",  # added round 7 (unaligned repeated-substring removal, Lee et al. class)
+    "multimodal_decode_census",  # added round 7 (decoder-cascade fallback rate, oracle-pinned)
 ]
 
 

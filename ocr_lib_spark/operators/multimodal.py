@@ -601,6 +601,110 @@ def jpeg_gray_encode(img: "np.ndarray", quant: "np.ndarray | None" = None) -> by
     )
 
 
+def png_gray_encode(img: "np.ndarray") -> bytes:
+    """Minimal 8-bit grayscale PNG ENCODER (fixture generator, the PNG
+    twin of ``jpeg_gray_encode``): filter-0 scanlines, one zlib IDAT.
+    Exists so decode-path census fixtures can synthesize REAL PNG
+    containers deterministically in a container with no codecs."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+#: decode-path census payload classes (doc_id % MM_CLASSES):
+#:   0 png (real pixel decode)   1 baseline JPEG (real pixel decode)
+#:   2 progressive JPEG (header-probe only BY DESIGN — multimodal.py
+#:     scope note: progressive/arithmetic/subsampled-color return None)
+#:   3 opaque bytes (stub dims)  4 text bytes (stub dims)
+#: Dims for classes 0-2 are closed form in doc_id so a DuckDB oracle
+#: can pin the REAL decoded dims without running any codec.
+MM_CLASSES = 5
+
+
+def mm_census_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) of the synthetic image for census classes 0-2 —
+    the cross-engine contract: w = 3 + (doc_id DIV 5) % 6,
+    h = 2 + (doc_id DIV 7) % 5 (moduli coprime with the class modulus
+    so every class sees every dim)."""
+    return 3 + (doc_id // 5) % 6, 2 + (doc_id // 7) % 5
+
+
+def synth_container_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload binary): the derived
+    multimodal fixture. Real PNG / baseline-JPEG containers are
+    encoded per row (pixel (r*7 + c*13 + doc_id) % 256), progressive
+    JPEG is a minimal SOF2 header stream, opaque is signature-free
+    garbage, and the text class passes UTF-8 bytes through. One Arrow
+    kernel, zero shuffle."""
+    import struct
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                doc_id = int(doc_id)
+                cls = doc_id % MM_CLASSES
+                if cls in (0, 1, 2):
+                    w, h = mm_census_dims(doc_id)
+                    if cls == 2:
+                        payloads.append(
+                            b"\xff\xd8\xff\xc2"
+                            + struct.pack(">H", 11)
+                            + bytes([8])
+                            + struct.pack(">HH", h, w)
+                            + bytes([1, 1, 0x11, 0])
+                            + b"\xff\xd9"
+                        )
+                        continue
+                    img = (
+                        (
+                            np.arange(h, dtype=np.int64)[:, None] * 7
+                            + np.arange(w, dtype=np.int64)[None, :] * 13
+                            + doc_id
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        png_gray_encode(img) if cls == 0 else jpeg_gray_encode(img)
+                    )
+                elif cls == 3:
+                    # leading NUL defeats every container signature
+                    payloads.append(b"\x00" + hashlib.md5(str(doc_id).encode()).digest())
+                else:
+                    payloads.append(("" if text is None else str(text)).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -244,6 +244,74 @@ FROM documents CROSS JOIN range(0, 4) AS r(i)
 """
 
 
+def _q_multimodal_decode_census(spark, sf_dir):
+    """Decode-path census (VERDICT r6 item 7): which decoder actually
+    produced each row, per container class, with REAL decoded dims
+    pinned. ``jpeg_gray_decode`` returns None for progressive /
+    arithmetic / subsampled-color payloads BY DESIGN
+    (operators/multimodal.py scope note) and the cascade falls back to
+    the header probe — this query makes that fallback rate an
+    externally-gated quantity instead of a silent branch. The fixture
+    synthesizes one payload per doc across 5 classes (real PNG, real
+    baseline JPEG, progressive-JPEG header, opaque bytes, text bytes)
+    with closed-form dims, so the DuckDB oracle pins the full
+    (container, decoder, n_docs, sum of decoded dims) census without
+    running any codec: a broken pixel decoder surfaces as a census
+    shift (png/jpg rows migrating to hdr/stub), a broken dim
+    reconstruction as a sum mismatch. Scale shape: two Arrow kernels
+    (synth is fixture-only; production reads payload columns) then ONE
+    map-side-combinable groupBy over a ≤2·MM_CLASSES key space."""
+    from ocr_lib_spark.operators.multimodal import (
+        MM_CLASSES,
+        decode_image_meta,
+        synth_container_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    meta = decode_image_meta(synth_container_payloads(docs))
+    cls = F.col("doc_id") % MM_CLASSES
+    container = (
+        F.when(cls == 0, F.lit("png"))
+        .when(cls == 1, F.lit("jpeg_baseline"))
+        .when(cls == 2, F.lit("jpeg_progressive"))
+        .when(cls == 3, F.lit("opaque"))
+        .otherwise(F.lit("text"))
+    )
+    return (
+        meta.select(container.alias("container"), "decoder", "width", "height")
+        .groupBy("container", "decoder")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+        )
+    )
+
+
+_ORACLE_MM_DECODE_CENSUS = """
+WITH c AS (
+  SELECT doc_id, doc_id % 5 AS cls, text, n_chars,
+         3 + (doc_id // 5) % 6 AS iw, 2 + (doc_id // 7) % 5 AS ih
+  FROM documents),
+per AS (
+  SELECT CASE cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg_baseline'
+                  WHEN 2 THEN 'jpeg_progressive' WHEN 3 THEN 'opaque'
+                  ELSE 'text' END AS container,
+         CASE cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                  WHEN 2 THEN 'hdr' ELSE 'stub' END AS decoder,
+         CASE WHEN cls IN (0, 1, 2) THEN iw
+              WHEN cls = 3 THEN 1
+              ELSE ascii(substring(text, 1, 1)) % 64 + 1 END AS width,
+         CASE WHEN cls IN (0, 1, 2) THEN ih
+              WHEN cls = 3 THEN 18
+              ELSE n_chars % 64 + 1 END AS height
+  FROM c)
+SELECT container, decoder, COUNT(*)::BIGINT AS n_docs,
+       SUM(width)::BIGINT AS sum_width, SUM(height)::BIGINT AS sum_height
+FROM per GROUP BY container, decoder
+"""
+
+
 def _q_conv_dedup(spark, sf_dir):
     """End-to-end training-data shape: extract -> assemble -> exact
     conversation dedup by content digest (one digest shuffle — the full
@@ -1338,6 +1406,11 @@ QUERIES = {
         _q_multimodal_frames,
         _ORACLE_MM_FRAMES,
         "evenly-spaced frame sampling + digest over binary payloads (pure Catalyst)",
+    ),
+    "multimodal_decode_census": QueryDef(
+        _q_multimodal_decode_census,
+        _ORACLE_MM_DECODE_CENSUS,
+        "decoder-cascade census over real PNG/JPEG containers: fallback rate externally pinned",
     ),
     "multimodal_thumb": QueryDef(
         _q_multimodal_thumb,

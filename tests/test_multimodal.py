@@ -421,3 +421,41 @@ def test_decode_image_meta_jpg_tag(spark):
     df = spark.createDataFrame([(5, buf)], "doc_id long, payload binary")
     r = decode_image_meta(df).collect()[0]
     assert (r["width"], r["height"], r["decoder"]) == (20, 12, "jpg")
+
+
+def test_png_gray_encode_roundtrips_exact_pixels():
+    import numpy as np
+
+    from ocr_lib_spark.operators.multimodal import png_decode, png_gray_encode
+
+    for h, w in [(1, 1), (2, 3), (5, 7), (16, 9)]:
+        img = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13 + 3) % 256).astype(
+            np.uint8
+        )
+        out = png_decode(png_gray_encode(img))
+        assert out is not None and out.shape == (h, w, 1)
+        assert (np.asarray(out, dtype=np.uint8)[:, :, 0] == img).all()
+
+
+def test_synth_container_payloads_census_classes(spark):
+    """Every census class routes through its intended decoder with the
+    contract dims — the off-fixture twin of multimodal_decode_census."""
+    from ocr_lib_spark.operators.multimodal import (
+        MM_CLASSES,
+        decode_image_meta,
+        mm_census_dims,
+        synth_container_payloads,
+    )
+
+    rows = [(i, f"text payload {i}") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    meta = {r.doc_id: r for r in decode_image_meta(synth_container_payloads(df)).collect()}
+    assert len(meta) == 25
+    for doc_id, r in meta.items():
+        cls = doc_id % MM_CLASSES
+        if cls in (0, 1, 2):
+            w, h = mm_census_dims(doc_id)
+            assert (r.width, r.height) == (w, h)
+            assert r.decoder == {0: "png", 1: "jpg", 2: "hdr"}[cls]
+        else:
+            assert r.decoder == "stub"
