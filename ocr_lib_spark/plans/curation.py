@@ -1545,17 +1545,27 @@ def _funnel_txt(d):
 
 
 def _funnel_frame(spark, sf_dir):
-    """Per-doc rule bits + first-failing-stage label. Scale shape: the
-    digest keep-first uses the FREQUENCY-SPLIT join (hot digests
-    broadcast, tail digests bounded per key — see FUNNEL_DENOM); the
-    quality bits are one pure-codegen pass (gopher_bits_frame); the
-    contamination tier is the broadcast-holdout gram join of
-    `decontaminate`. Every join back to the doc spine is keyed on
-    doc_id (uniform). The derived-text spine is lazily checkpointed —
-    it feeds the digest, quality, and gram branches."""
+    """Per-doc rule bits + first-failing-stage label over the derived
+    fixture text; see funnel_attribution_frame for the shape."""
+    return funnel_attribution_frame(_funnel_txt(_docs(spark, sf_dir)))
+
+
+def funnel_attribution_frame(d):
+    """(doc_id, txt) frame -> per-doc rule bits + first-failing-stage
+    label. Split out so stage-BOUNDARY overlaps (a doc violating two
+    gates at once) are unit-testable off-fixture — a stage-order
+    regression must fail those Ts, not hide behind aggregate counts.
+    Scale shape: the digest keep-first uses the FREQUENCY-SPLIT join
+    (hot digests broadcast, tail digests bounded per key — see
+    FUNNEL_DENOM); the quality bits are one pure-codegen pass
+    (gopher_bits_frame); the contamination tier is the
+    broadcast-holdout gram join of `decontaminate`. Every join back to
+    the doc spine is keyed on doc_id (uniform). The derived-text spine
+    is lazily checkpointed — it feeds the digest, quality, and gram
+    branches."""
     from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K, gopher_bits_frame
 
-    d = _funnel_txt(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    d = d.localCheckpoint(eager=False)
     dig = d.select("doc_id", F.md5("txt").alias("digest")).localCheckpoint(
         eager=False
     )

@@ -764,3 +764,93 @@ def test_substring_scrub_frame_self_repeat_and_full_coverage(spark):
         assert len(kept) == r.n_tokens - r.n_removed or (
             r.scrubbed_text == "" and r.n_tokens - r.n_removed == 1
         )
+
+
+def test_funnel_stage_boundary_overlaps_adversarial(spark):
+    """One constructed doc per funnel stage-boundary OVERLAP: each
+    violates two gates at once and must land on the EARLIER stage
+    (priority: eval_holdout > duplicate > quality > contaminated).
+    A stage-order regression cannot hide behind aggregate counts here —
+    every overlap pair pins its winner doc-by-doc."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.plans.curation import funnel_attribution_frame
+    from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K
+
+    M = DECON_HOLDOUT_MOD  # holdout rule: doc_id % M == 0
+
+    # 60 distinct all-alpha 4-char words -> passes every quality bit
+    def good(seed, n=60):
+        ws = []
+        for i in range(n):
+            v = seed * 997 + i
+            ws.append(
+                "".join(chr(97 + (v // (26 ** k)) % 26) for k in range(3)) + "q"
+            )
+        assert len(set(ws)) == n
+        return " ".join(ws)
+
+    bad = "too short to pass the word count gate"  # < 50 words
+    good_a = good(1)
+    good_b = good(2)
+    holdout_src = good(3)  # a holdout doc supplying grams
+    gram = " ".join(holdout_src.split(" ")[:DECON_K])  # an 8-gram of it
+    contaminated_good = gram + " " + good(4)  # passes quality, hits gram
+    bad_dup = bad + " extra filler words here"  # <50 words, duplicated below
+
+    rows = [
+        # holdout∩duplicate, holdout NON-keeper: id 2M dups keeper 1
+        (1, good_a), (2 * M, good_a),
+        # holdout∩duplicate, holdout IS keeper: id M keeps, 10 dups it
+        (M, good_b), (10, good_b),
+        # duplicate∩quality: identical bad docs; keeper fails quality,
+        # non-keeper must say duplicate (not quality)
+        (3, bad_dup), (4, bad_dup),
+        # quality∩contaminated: fails word count AND carries a holdout
+        # gram -> quality wins
+        (5, bad + " " + gram),
+        # duplicate∩contaminated: identical good docs carrying the gram;
+        # keeper -> contaminated, non-keeper -> duplicate
+        (6, contaminated_good), (8, contaminated_good),
+        # the gram source (holdout), and holdout∩quality: 7M fails
+        # quality but is holdout -> eval_holdout
+        (3 * M, holdout_src), (7 * M, bad),
+        # clean kept doc
+        (9, good(5)),
+    ]
+    # ids must not collide with the holdout rule unintentionally
+    ids = [doc_id for doc_id, _ in rows]
+    assert len(set(ids)) == len(ids)
+    for doc_id in ids:
+        assert doc_id % M == 0 or doc_id in (1, 3, 4, 5, 6, 8, 9, 10)
+
+    df = spark.createDataFrame(rows, "doc_id long, txt string")
+    out = {r.doc_id: r for r in funnel_attribution_frame(df).collect()}
+    assert len(out) == len(rows)
+
+    want = {
+        2 * M: "eval_holdout",   # holdout beats duplicate (non-keeper)
+        # doc 1 keeps its digest (1 < 2M) and passes quality, but its
+        # holdout twin donated ALL its grams to the holdout set -> an
+        # exact copy of a holdout doc is contaminated, by construction
+        1: "contaminated",
+        M: "eval_holdout",       # holdout beats everything as keeper too
+        10: "duplicate",         # dups the holdout keeper
+        3: "quality",            # bad keeper survives dedup, fails quality
+        4: "duplicate",          # duplicate beats quality
+        5: "quality",            # quality beats contaminated
+        6: "contaminated",       # good keeper with a holdout gram
+        8: "duplicate",          # duplicate beats contaminated
+        3 * M: "eval_holdout",   # the gram source
+        7 * M: "eval_holdout",   # holdout beats quality
+        9: "kept",
+    }
+    got = {d: out[d].stage for d in want}
+    assert got == want
+    # bit-level cross-checks on the overlap docs
+    assert out[2 * M].is_duplicate == 1 and out[2 * M].is_holdout == 1
+    assert out[1].is_duplicate == 0 and out[1].n_hit_grams >= 1
+    assert out[4].is_duplicate == 1 and not out[4].pass_quality
+    assert out[5].n_hit_grams >= 1 and not out[5].pass_quality
+    assert out[8].is_duplicate == 1 and out[8].n_hit_grams >= 1
+    assert out[7 * M].is_holdout == 1 and not out[7 * M].pass_quality
