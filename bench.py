@@ -140,6 +140,7 @@ HEADLINE = [
     "chunk_overlap",  # added round 6 (sliding-window chunking, closed-form zero-shuffle)
     "substring_scrub",  # added round 7 (unaligned repeated-substring removal, Lee et al. class)
     "multimodal_decode_census",  # added round 7 (decoder-cascade fallback rate, oracle-pinned)
+    "bpe_merge_loop",  # added round 7 (3-round vocab induction, plan-side argmax between rounds)
 ]
 
 

@@ -1895,18 +1895,15 @@ BPE_GREEDY_EXPR = (
 )
 
 
-def _q_bpe_merge_step(spark, sf_dir):
-    """Corpus argmax adjacent pair + per-doc leftmost-greedy merge
-    counts for it. Returns one row per doc: tokens before/after, match
-    and merge counts, and the chosen pair as broadcast scalars."""
-    toks = F.split(F.trim("text"), " ")
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
-        .localCheckpoint(eager=False)  # feeds the census and the count pass
-    )
-    pairs = d.select(
+def _bpe_pair_argmax(t_df):
+    """Corpus-wide most-frequent adjacent pair over a (doc_id, t)
+    token-array frame, as a ONE-ROW broadcastable frame (pair_a,
+    pair_b, pair_count). The argmax is three chained scalar aggregates
+    (max count -> min first token -> min second token) so the global
+    top-1 never sorts the census; an empty census yields one all-NULL
+    row (groupBy-less agg), which downstream match filters treat as
+    zero matches on both engines."""
+    pairs = t_df.select(
         F.explode(
             F.expr(
                 "CASE WHEN size(t) >= 2 THEN "
@@ -1924,7 +1921,7 @@ def _q_bpe_merge_step(spark, sf_dir):
         .where(F.col("c") == F.col("c_max"))
         .agg(F.min("a").alias("a_min"), F.max("c").alias("c_max"))
     )
-    best = (
+    return (
         census.crossJoin(F.broadcast(amin))
         .where((F.col("c") == F.col("c_max")) & (F.col("a") == F.col("a_min")))
         .agg(
@@ -1933,6 +1930,20 @@ def _q_bpe_merge_step(spark, sf_dir):
             F.max("c").alias("pair_count"),
         )
     )
+
+
+def _q_bpe_merge_step(spark, sf_dir):
+    """Corpus argmax adjacent pair + per-doc leftmost-greedy merge
+    counts for it. Returns one row per doc: tokens before/after, match
+    and merge counts, and the chosen pair as broadcast scalars."""
+    toks = F.split(F.trim("text"), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
+        .localCheckpoint(eager=False)  # feeds the census and the count pass
+    )
+    best = _bpe_pair_argmax(d)
     out = d.crossJoin(F.broadcast(best))
     matches = F.expr(BPE_MATCHES_EXPR)
     greedy = F.expr(BPE_GREEDY_EXPR)
@@ -1997,6 +2008,158 @@ SELECT dm.doc_id, dm.n_tokens, dm.pair_a, dm.pair_b, dm.pair_count,
        (dm.n_tokens - COALESCE(mg.n_merges, 0))::BIGINT AS n_tokens_after
 FROM dm LEFT JOIN merges mg USING (doc_id)
 """
+
+
+# --- BPE merge LOOP: multi-step vocab induction with stream rebuild ----------
+# The loop variant bpe_merge_step's section note left open: run
+# BPE_STEPS merge rounds, RECONSTRUCTING the token stream after each
+# (fused symbol = a || '_' || b), re-censusing, and re-picking the
+# argmax pair — the actual Sennrich et al. training loop at
+# whitespace-token granularity. Unlike ivf_train_loop (which collects
+# a k×dim codebook to the driver between rounds), every round here
+# stays PLAN-SIDE: the argmax is a one-row groupBy-less aggregate that
+# broadcasts back as scalar columns, so the loop is a fixed chain of
+# BPE_STEPS census->argmax->rebuild stages with ZERO driver collects
+# and nothing driver-sized anywhere. Each round's token frame is
+# lazily checkpointed (it feeds the census, the stats row, and the
+# next rebuild — the exchange-reuse convention) which also truncates
+# the growing lineage.
+#
+# Chosen-merge semantics are the step's documented greedy pass: within
+# each ISLAND of consecutive match positions, take s, s+2, s+4, ...
+# (ceil(L/2) merges per island of L matches; floor(L/2) for a run of L
+# identical tokens) — the Spark side builds the chosen-position array
+# with one ordered HOF fold, the DuckDB twin with gaps-and-islands
+# row_number parity, value-identical by the island argument.
+
+BPE_STEPS = 3
+#: ordered fold over match positions m: keep p iff p >= last_kept + 2
+#: (matches are generated in increasing order), accumulating the
+#: CHOSEN array rather than just its count (BPE_GREEDY_EXPR's twin)
+BPE_CHOSEN_EXPR = (
+    "aggregate(m, struct(cast(array() as array<int>) AS ch, CAST(-2 AS BIGINT) AS lt), "
+    "(acc, p) -> IF(p >= acc.lt + 2, "
+    "struct(concat(acc.ch, array(p)) AS ch, CAST(p AS BIGINT) AS lt), acc), "
+    "acc -> acc.ch)"
+)
+#: stream rebuild from the chosen positions: a chosen i emits the
+#: fused pair, i+1 of a chosen i emits nothing, everything else passes
+BPE_REBUILD_EXPR = (
+    "CASE WHEN size(t) < 1 THEN t ELSE "
+    "flatten(transform(sequence(0, cast(size(t) as int) - 1), "
+    "i -> CASE WHEN array_contains(ch, i) THEN array(concat(t[i], '_', t[i+1])) "
+    "WHEN array_contains(ch, i - 1) THEN cast(array() as array<string>) "
+    "ELSE array(t[i]) END)) END"
+)
+
+
+def _q_bpe_merge_loop(spark, sf_dir):
+    """One row per merge round: the pair picked, its census count, the
+    corpus-wide greedy merge total, and the post-merge corpus token
+    total. BPE_STEPS rounds, stream rebuilt between rounds."""
+    toks = F.split(F.trim("text"), " ")
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
+    )
+    return bpe_merge_loop_frame(t)
+
+
+def bpe_merge_loop_frame(t, steps_n: int = BPE_STEPS):
+    """(doc_id, t token-array) frame -> per-round merge records; see
+    _q_bpe_merge_loop. Split out so hand-computed corpora (winning
+    pair changing between rounds, fused symbols re-entering the
+    census, self-pair runs) are unit-testable off-fixture."""
+    steps = []
+    for step in range(1, steps_n + 1):
+        t = t.localCheckpoint(eager=False)  # census + stats + rebuild
+        best = _bpe_pair_argmax(t)
+        tt = (
+            t.crossJoin(F.broadcast(best))
+            .withColumn("m", F.expr(BPE_MATCHES_EXPR))
+            .withColumn("ch", F.expr(BPE_CHOSEN_EXPR))
+            .localCheckpoint(eager=False)  # stats + next-round stream
+        )
+        stats = (
+            tt.agg(
+                F.sum(F.size("ch")).cast("long").alias("n_merges"),
+                F.sum(F.size("t") - F.size("ch")).cast("long").alias("n_tokens_after"),
+            )
+            .crossJoin(F.broadcast(best))
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "pair_a",
+                "pair_b",
+                "pair_count",
+                "n_merges",
+                "n_tokens_after",
+            )
+        )
+        steps.append(stats)
+        t = tt.select("doc_id", F.expr(BPE_REBUILD_EXPR).alias("t"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_loop_oracle() -> str:
+    """Unrolled BPE_STEPS-round twin (the ivf_train_loop convention):
+    per round, census -> 3-aggregate argmax -> gaps-and-islands chosen
+    positions -> list rebuild."""
+    parts = [
+        """
+WITH t0 AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents)"""
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        p = k - 1
+        parts.append(f""",
+p{k} AS (
+  SELECT t[i+1] AS a, t[i+2] AS b
+  FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM t{p} WHERE len(t) >= 2)),
+c{k} AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM p{k} GROUP BY a, b),
+cm{k} AS (SELECT MAX(c) AS c_max FROM c{k}),
+am{k} AS (SELECT MIN(a) AS a_min FROM c{k}, cm{k} WHERE c = c_max),
+b{k} AS (
+  SELECT MIN(b) AS pair_b, MIN(a) AS pair_a, MAX(c) AS pair_count
+  FROM c{k}, cm{k}, am{k} WHERE c = c_max AND a = a_min),
+dm{k} AS (
+  SELECT doc_id, t,
+         list_filter(range(len(t) - 1),
+                     i -> t[i+1] = bb.pair_a AND t[i+2] = bb.pair_b) AS m
+  FROM t{p}, b{k} bb),
+mp{k} AS (SELECT doc_id, unnest(m) AS pos FROM dm{k}),
+il{k} AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM mp{k}),
+ch{k} AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn
+    FROM il{k}) WHERE rn % 2 = 1),
+cl{k} AS (SELECT doc_id, list(pos ORDER BY pos) AS ch FROM ch{k} GROUP BY doc_id),
+t{k} AS (
+  SELECT dm.doc_id,
+         CASE WHEN cl.ch IS NULL THEN dm.t ELSE
+           flatten(list_transform(range(len(dm.t)), i ->
+             CASE WHEN list_contains(cl.ch, i) THEN [dm.t[i+1] || '_' || dm.t[i+2]]
+                  WHEN list_contains(cl.ch, i - 1) THEN []::VARCHAR[]
+                  ELSE [dm.t[i+1]] END))
+         END AS t
+  FROM dm{k} dm LEFT JOIN cl{k} cl USING (doc_id)),
+s{k} AS (
+  SELECT {k}::INT AS step, bb.pair_a, bb.pair_b, bb.pair_count,
+         mm.n_merges, nn.n_tokens_after
+  FROM b{k} bb,
+       (SELECT COALESCE(SUM(len(ch)), 0)::BIGINT AS n_merges FROM cl{k}) mm,
+       (SELECT SUM(len(t))::BIGINT AS n_tokens_after FROM t{k}) nn)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{k}" for k in range(1, BPE_STEPS + 1))
+    parts.append("\n" + union + "\n")
+    return "".join(parts)
 
 
 # --- leakage-safe split: cluster-atomic train/val/test assignment ------------
@@ -2335,6 +2498,11 @@ QUERIES = {
         _q_bpe_merge_step,
         _O_BPE_MERGE_STEP,
         "BPE vocab-induction step: corpus argmax adjacent pair + greedy per-doc merge counts",
+    ),
+    "bpe_merge_loop": QueryDef(
+        _q_bpe_merge_loop,
+        _bpe_loop_oracle(),
+        "multi-round BPE vocab induction with stream rebuild (plan-side argmax, zero collects)",
     ),
     "chunk_overlap": QueryDef(
         _q_chunk_overlap,

@@ -854,3 +854,42 @@ def test_funnel_stage_boundary_overlaps_adversarial(spark):
     assert out[5].n_hit_grams >= 1 and not out[5].pass_quality
     assert out[8].is_duplicate == 1 and out[8].n_hit_grams >= 1
     assert out[7 * M].is_holdout == 1 and not out[7 * M].pass_quality
+
+
+def test_bpe_merge_loop_hand_computed_rounds(spark):
+    """Three rounds over a constructed corpus where the winner changes
+    per round and round-1's fused symbol re-enters round 2's census —
+    each round's (pair, count, merges, tokens-after) pinned by hand."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.plans.curation import bpe_merge_loop_frame
+
+    # corpus: 'a b' x4 (two docs), 'a b c' x2, run of five 'z'
+    rows = [
+        (1, ["a", "b", "x", "a", "b"]),
+        (2, ["a", "b", "y", "a", "b"]),
+        (3, ["a", "b", "c", "q", "a", "b", "c"]),
+        (4, ["z", "z", "z", "z", "z"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t array<string>")
+    out = {r.step: r for r in bpe_merge_loop_frame(df, steps_n=3).collect()}
+    assert set(out) == {1, 2, 3}
+
+    # round 1: ('a','b') count 6 beats ('z','z') count 4; 6 merges;
+    # 22 tokens -> 16
+    r1 = out[1]
+    assert (r1.pair_a, r1.pair_b, r1.pair_count) == ("a", "b", 6)
+    assert r1.n_merges == 6 and r1.n_tokens_after == 22 - 6
+
+    # round 2: streams are now a_b x, a_b / a_b y, a_b / a_b c q a_b c
+    # / z z z z z. ('z','z') count 4, greedy floor(5/2)=2 merges;
+    # ties: ('a_b','c') count 2 < 4. 16 -> 14 tokens
+    r2 = out[2]
+    assert (r2.pair_a, r2.pair_b, r2.pair_count) == ("z", "z", 4)
+    assert r2.n_merges == 2 and r2.n_tokens_after == 14
+
+    # round 3: doc4 = z_z z_z z; ('a_b','c') count 2 wins over
+    # ('z_z','z_z') count 1 and others (count-1 pairs); 2 merges
+    r3 = out[3]
+    assert (r3.pair_a, r3.pair_b, r3.pair_count) == ("a_b", "c", 2)
+    assert r3.n_merges == 2 and r3.n_tokens_after == 12
