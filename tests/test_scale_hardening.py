@@ -746,3 +746,23 @@ def test_conv_prefix_dedup_groups_derived_openings(spark):
     for pfx, members in classes.items():
         assert got[pfx].n_convs == len(members)
         assert got[pfx].canonical_conv_id == min(members)
+
+
+def test_substring_scrub_partition_invariance(spark):
+    """The scrub's keeper/coverage/rebuild chain is driven entirely by
+    (doc_id, pos) keys — the output must be bit-identical under any
+    input partitioning (the stripe-partitioning invariance convention,
+    SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark.plans.curation import _scrub_docs, substring_scrub_frame
+
+    t = _scrub_docs(spark, "/root/testdata/sf0.001")
+
+    def run(df):
+        rows = substring_scrub_frame(df, K=25).collect()
+        return sorted((r.doc_id, r.scrubbed_text, r.n_tokens, r.n_removed) for r in rows)
+
+    base = run(t.repartition(1))
+    assert run(t.repartition(16)) == base
+    assert run(t.repartition(7, "doc_id")) == base
