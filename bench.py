@@ -141,6 +141,7 @@ HEADLINE = [
     "substring_scrub",  # added round 7 (unaligned repeated-substring removal, Lee et al. class)
     "multimodal_decode_census",  # added round 7 (decoder-cascade fallback rate, oracle-pinned)
     "bpe_merge_loop",  # added round 7 (3-round vocab induction, plan-side argmax between rounds)
+    "bpe_apply_merges",  # added round 7 (tokenize with induced merges, per-doc budgets)
 ]
 
 

@@ -2104,10 +2104,11 @@ def bpe_merge_loop_frame(t, steps_n: int = BPE_STEPS):
     return out
 
 
-def _bpe_loop_oracle() -> str:
-    """Unrolled BPE_STEPS-round twin (the ivf_train_loop convention):
-    per round, census -> 3-aggregate argmax -> gaps-and-islands chosen
-    positions -> list rebuild."""
+def _bpe_chain_sql() -> str:
+    """The unrolled BPE_STEPS-round CTE chain (census -> 3-aggregate
+    argmax -> gaps-and-islands chosen positions -> list rebuild per
+    round), shared by the loop and apply oracles; ends after the last
+    CTE, final SELECT supplied by the caller."""
     parts = [
         """
 WITH t0 AS (
@@ -2157,9 +2158,56 @@ s{k} AS (
   FROM b{k} bb,
        (SELECT COALESCE(SUM(len(ch)), 0)::BIGINT AS n_merges FROM cl{k}) mm,
        (SELECT SUM(len(t))::BIGINT AS n_tokens_after FROM t{k}) nn)""")
-    union = "\nUNION ALL\n".join(f"SELECT * FROM s{k}" for k in range(1, BPE_STEPS + 1))
-    parts.append("\n" + union + "\n")
     return "".join(parts)
+
+
+def _bpe_loop_oracle() -> str:
+    """Per-round merge records off the shared chain."""
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{k}" for k in range(1, BPE_STEPS + 1))
+    return _bpe_chain_sql() + "\n" + union + "\n"
+
+
+def _q_bpe_apply_merges(spark, sf_dir):
+    """Apply the BPE_STEPS induced merges to the corpus: one row per
+    document with its token budget before/after and the merge count it
+    absorbed — the tokenize-with-the-trained-vocab export step
+    downstream of bpe_merge_loop. Same plan-side loop (argmax
+    broadcasts back as scalars, zero driver collects); the only
+    addition is the per-doc carry of the round-0 token count."""
+    toks = F.split(F.trim("text"), " ")
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
+        .withColumn("n0", F.size("t").cast("long"))
+    )
+    for _step in range(BPE_STEPS):
+        t = t.localCheckpoint(eager=False)
+        best = _bpe_pair_argmax(t)
+        t = (
+            t.crossJoin(F.broadcast(best))
+            .withColumn("m", F.expr(BPE_MATCHES_EXPR))
+            .withColumn("ch", F.expr(BPE_CHOSEN_EXPR))
+            .select("doc_id", "n0", F.expr(BPE_REBUILD_EXPR).alias("t"))
+        )
+    return t.select(
+        "doc_id",
+        F.col("n0").alias("n_tokens_before"),
+        F.size("t").cast("long").alias("n_tokens_after"),
+        (F.col("n0") - F.size("t")).cast("long").alias("n_merged"),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Final-stream lens off the shared chain (the s{k} CTEs go
+    unused — CTEs are lazy in DuckDB)."""
+    return _bpe_chain_sql() + f"""
+SELECT t0.doc_id,
+       len(t0.t)::BIGINT AS n_tokens_before,
+       len(tn.t)::BIGINT AS n_tokens_after,
+       (len(t0.t) - len(tn.t))::BIGINT AS n_merged
+FROM t0 JOIN t{BPE_STEPS} tn ON t0.doc_id = tn.doc_id
+"""
 
 
 # --- leakage-safe split: cluster-atomic train/val/test assignment ------------
@@ -2503,6 +2551,11 @@ QUERIES = {
         _q_bpe_merge_loop,
         _bpe_loop_oracle(),
         "multi-round BPE vocab induction with stream rebuild (plan-side argmax, zero collects)",
+    ),
+    "bpe_apply_merges": QueryDef(
+        _q_bpe_apply_merges,
+        _bpe_apply_oracle(),
+        "tokenize with the induced merges: per-doc token budget before/after + merges absorbed",
     ),
     "chunk_overlap": QueryDef(
         _q_chunk_overlap,

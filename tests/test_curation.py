@@ -893,3 +893,24 @@ def test_bpe_merge_loop_hand_computed_rounds(spark):
     r3 = out[3]
     assert (r3.pair_a, r3.pair_b, r3.pair_count) == ("a_b", "c", 2)
     assert r3.n_merges == 2 and r3.n_tokens_after == 12
+
+
+def test_bpe_apply_merges_totals_equal_loop_records(spark):
+    """bpe_apply_merges is the per-doc lens on the exact stream the
+    loop induces: corpus-wide merges absorbed == sum of the loop's
+    per-round totals, and the final token total == the loop's last
+    n_tokens_after (composition adds granularity, never mutation)."""
+    from ocr_lib_spark.plans.curation import (
+        BPE_STEPS,
+        _q_bpe_apply_merges,
+        _q_bpe_merge_loop,
+    )
+
+    loop = {r.step: r for r in _q_bpe_merge_loop(spark, SF).collect()}
+    per = _q_bpe_apply_merges(spark, SF).collect()
+    assert len(loop) == BPE_STEPS
+    assert sum(r.n_merged for r in per) == sum(r.n_merges for r in loop.values())
+    assert sum(r.n_tokens_after for r in per) == loop[BPE_STEPS].n_tokens_after
+    for r in per:
+        assert r.n_tokens_after + r.n_merged == r.n_tokens_before
+        assert r.n_merged >= 0
