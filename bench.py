@@ -142,6 +142,7 @@ HEADLINE = [
     "multimodal_decode_census",  # added round 7 (decoder-cascade fallback rate, oracle-pinned)
     "bpe_merge_loop",  # added round 7 (3-round vocab induction, plan-side argmax between rounds)
     "bpe_apply_merges",  # added round 7 (tokenize with induced merges, per-doc budgets)
+    "decontaminate_spans",  # added round 7 (char-span provenance per contamination hit)
 ]
 
 

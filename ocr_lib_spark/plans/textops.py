@@ -239,6 +239,70 @@ GROUP BY c.doc_id
 """
 
 
+def _decontaminate_spans(spark, sf_dir):
+    """Char-span provenance for every contamination hit — WHERE in the
+    document each holdout 8-gram sits, not just how many
+    (`decontaminate` reports counts; audits need the spans, the
+    loss_mask_spans convention applied to decontamination). One row
+    per hit OCCURRENCE: token position plus [char_start, char_end) in
+    the trimmed single-space token-rejoin coordinate system (fixture
+    texts are single-spaced, so this is the text itself; the
+    normalized frame is the contract either way). Offsets are a pure
+    HOF fold over the token prefix — no second shuffle; the join
+    against the distinct holdout gram set broadcasts exactly as in
+    `decontaminate`; output rows are bounded by the contamination
+    rate."""
+    toks = F.split(F.trim("text"), " ")
+    grams_expr = F.expr(
+        f"CASE WHEN size(t) >= {DECON_K} THEN "
+        f"transform(sequence(0, cast(size(t) as int) - {DECON_K}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {DECON_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
+    g = d.select("doc_id", "t", F.posexplode(grams_expr).alias("pos", "g"))
+    holdout = (
+        g.where(F.col("doc_id") % DECON_HOLDOUT_MOD == 0).select("g").distinct()
+    )
+    hits = g.where(F.col("doc_id") % DECON_HOLDOUT_MOD != 0).join(
+        F.broadcast(holdout), "g"
+    )
+    start = F.expr(
+        "aggregate(slice(t, 1, pos), 0L, (a, x) -> a + length(x)) + pos"
+    ).cast("long")
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        start.alias("char_start"),
+        (start + F.length("g")).cast("long").alias("char_end"),
+        F.md5("g").alias("gram_md5"),
+    )
+
+
+_O_DECONTAMINATE_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, t, i::INT AS pos,
+         array_to_string(list_slice(t, i + 1, i + {DECON_K}), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {DECON_K} + 1)) AS i
+        FROM t WHERE len(t) >= {DECON_K})),
+holdout AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+hits AS (
+  SELECT c.doc_id, c.t, c.pos, c.g
+  FROM g c JOIN holdout h ON c.g = h.g
+  WHERE c.doc_id % {DECON_HOLDOUT_MOD} != 0)
+SELECT doc_id, pos,
+       (COALESCE(list_sum(list_transform(list_slice(t, 1, pos), x -> length(x))), 0)
+        + pos)::BIGINT AS char_start,
+       (COALESCE(list_sum(list_transform(list_slice(t, 1, pos), x -> length(x))), 0)
+        + pos + length(g))::BIGINT AS char_end,
+       md5(g) AS gram_md5
+FROM hits
+"""
+
+
 # --- PII scrubbing (redaction with audit counts) -----------------------------
 # The compliance step every training-data pipeline carries: redact
 # PII-shaped spans, count what was redacted per class. The fixture
@@ -1956,6 +2020,11 @@ QUERIES = {
         _decontaminate,
         _O_DECONTAMINATE,
         "eval decontamination: word-8-gram overlap vs broadcast holdout set",
+    ),
+    "decontaminate_spans": QueryDef(
+        _decontaminate_spans,
+        _O_DECONTAMINATE_SPANS,
+        "char-span provenance per contamination hit (audit-grade where, not just how many)",
     ),
     "adjacent_jaccard": QueryDef(_adjacent_jaccard, _O_ADJ_JACCARD, "shingle-set Jaccard kernel (core.clj:1039-1050)"),
     "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),

@@ -914,3 +914,29 @@ def test_bpe_apply_merges_totals_equal_loop_records(spark):
     for r in per:
         assert r.n_tokens_after + r.n_merged == r.n_tokens_before
         assert r.n_merged >= 0
+
+
+def test_decontaminate_spans_locate_grams_exactly(spark, docs):
+    """Every reported span, sliced out of the doc's trimmed
+    single-space token-rejoin, md5s to the reported gram — and the
+    per-doc distinct-gram census equals decontaminate's counts."""
+    import hashlib
+
+    from ocr_lib_spark.plans.textops import _decontaminate, _decontaminate_spans
+
+    spans = _decontaminate_spans(spark, SF).collect()
+    assert spans, "fixture produced no contamination hits"
+    src = {r.doc_id: (r.text or "") for r in docs.collect()}
+    for r in spans:
+        norm = " ".join(src[r.doc_id].strip().split(" "))
+        frag = norm[r.char_start : r.char_end]
+        assert hashlib.md5(frag.encode()).hexdigest() == r.gram_md5, (
+            r.doc_id,
+            r.pos,
+            frag,
+        )
+    counts = {r.doc_id: r.n_hit_grams for r in _decontaminate(spark, SF).collect()}
+    per_doc: dict = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, set()).add(r.gram_md5)
+    assert {d: len(g) for d, g in per_doc.items()} == counts
