@@ -24,9 +24,16 @@ def load(spark, sf_dir: str, name: str):
 
 
 def build_registry() -> dict:
-    from ocr_lib_spark.plans import curation, extraction, relational, textops, vectors
+    from ocr_lib_spark.plans import (
+        agentops,
+        curation,
+        extraction,
+        relational,
+        textops,
+        vectors,
+    )
 
     reg: dict[str, QueryDef] = {}
-    for mod in (extraction, relational, textops, vectors, curation):
+    for mod in (extraction, relational, textops, vectors, curation, agentops):
         reg.update(mod.QUERIES)
     return reg
