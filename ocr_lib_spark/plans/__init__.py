@@ -28,12 +28,13 @@ def build_registry() -> dict:
         agentops,
         curation,
         extraction,
+        indexing,
         relational,
         textops,
         vectors,
     )
 
     reg: dict[str, QueryDef] = {}
-    for mod in (extraction, relational, textops, vectors, curation, agentops):
+    for mod in (extraction, relational, textops, vectors, curation, agentops, indexing):
         reg.update(mod.QUERIES)
     return reg

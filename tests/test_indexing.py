@@ -1,0 +1,98 @@
+"""Unit tests for corpus indexing / IR statistics (plans/indexing.py)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_lib_spark.plans.indexing import (
+    HEAPS_BUCKETS,
+    TFIDF_K,
+    TFIDF_QK,
+    TFIDF_RARE_NUM,
+    _q_heaps_law_curve,
+    _q_inverted_index_stats,
+    _q_tfidf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tfidf_two_phase_equals_single_window(spark):
+    """The two-phase per-term top-k must equal the single-window plan
+    (total order: score DESC, doc_id ASC) at any partitioning."""
+    from ocr_lib_spark.plans.indexing import _tok_doc_counts
+
+    out = {
+        (r["tok"], r["rnk"]): r["doc_id"]
+        for r in _q_tfidf_topk(spark, SF).collect()
+    }
+    # independent single-window recompute
+    td = _tok_doc_counts(spark, SF)
+    dfs = td.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    n = td.select("doc_id").distinct().count()
+    qt = (
+        dfs.where(F.col("df_docs") * TFIDF_RARE_NUM <= n)
+        .orderBy(F.desc("df_docs"), F.asc("tok"))
+        .limit(TFIDF_QK)
+        .withColumn("idf", F.length(F.expr(f"bin({n} DIV df_docs)")) - 1)
+    )
+    cand = td.join(qt.select("tok", "idf"), "tok").select(
+        "tok", "doc_id", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
+    ref = {
+        (r["tok"], r["rnk"]): r["doc_id"]
+        for r in cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_K)
+        .collect()
+    }
+    assert out == ref and len(out) > 0
+
+
+def test_tfidf_query_terms_are_discriminative(spark):
+    rows = _q_tfidf_topk(spark, SF).collect()
+    assert all(r["idf_bits"] >= 2 for r in rows)
+    assert len({r["tok"] for r in rows}) <= TFIDF_QK
+    assert all(1 <= r["rnk"] <= TFIDF_K for r in rows)
+
+
+def test_inverted_index_checksum_partition_invariant(spark):
+    """Shard checksums are BIT_XOR folds — identical under any input
+    partitioning (order independence is the design claim)."""
+    a = {r["shard"]: r for r in _q_inverted_index_stats(spark, SF).collect()}
+
+    # recompute with a hostile repartition injected into the token feed
+    import ocr_lib_spark.plans.indexing as ix
+
+    orig = ix._tok_doc_counts
+    try:
+        ix._tok_doc_counts = lambda s, d: orig(s, d).repartition(37)
+        b = {
+            r["shard"]: r for r in _q_inverted_index_stats(spark, SF).collect()
+        }
+    finally:
+        ix._tok_doc_counts = orig
+    assert set(a) == set(b)
+    for s in a:
+        assert a[s].asDict() == b[s].asDict()
+    # conservation: postings across shards == distinct (tok, doc) pairs
+    from ocr_lib_spark.plans.textops import _toks_nonempty
+
+    n_pairs = _toks_nonempty(spark, SF).select("tok", "doc_id").distinct().count()
+    assert sum(r["n_postings"] for r in a.values()) == n_pairs
+
+
+def test_heaps_curve_monotone_and_conserves_totals(spark):
+    from ocr_lib_spark.plans.textops import _toks_nonempty
+
+    rows = sorted(
+        _q_heaps_law_curve(spark, SF).collect(), key=lambda r: r["bucket"]
+    )
+    assert 0 < len(rows) <= HEAPS_BUCKETS
+    occ = [r["cum_occurrences"] for r in rows]
+    dis = [r["cum_distinct_tokens"] for r in rows]
+    assert occ == sorted(occ) and dis == sorted(dis)
+    # every prefix: distinct <= occurrences
+    assert all(d <= o for d, o in zip(dis, occ))
+    toks = _toks_nonempty(spark, SF)
+    assert occ[-1] == toks.count()
+    assert dis[-1] == toks.select("tok").distinct().count()
