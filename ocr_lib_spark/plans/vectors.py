@@ -728,8 +728,103 @@ truth AS (
     return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
+# --- int8 symmetric quantization (embedding storage/IO compression) ---------
+# At 100 TB the embedding column dominates storage and shuffle width:
+# int8 quantization cuts it 4-8x before ANN indexing. The contract is
+# integer-exact end-to-end so a DuckDB oracle pins every code: elements
+# enter fixed point as floor(v * 1e6) (TRAIN_SCALE, the k-means
+# convention), the per-vector scale is max|vi|, codes are
+# q = sign(vi) * ((|vi| * 127) DIV max|vi|) in [-127, 127] — sign-split
+# so only NON-NEGATIVE integer division runs on either engine (Spark
+# DIV and DuckDB // both truncate toward zero, but why rely on it) —
+# and the per-vector summary pins the whole code vector through a
+# position-weighted linear checksum (sum (dim+1)*q) plus reconstruction
+# error stats, all scalars.
+
+QUANT_LEVELS = 127
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization summary. Scale shape: posexplode ->
+    ONE combinable groupBy for the scale -> equi-join back on vec_id
+    (64 rows per key, skew-free by construction) -> ONE combinable
+    groupBy for the summary. No window, no collect, no UDF."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val")
+    )
+    vi = e.select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * TRAIN_SCALE).cast("long").alias("vi"),
+    ).localCheckpoint(eager=False)
+    scale = vi.groupBy("vec_id").agg(F.max(F.abs("vi")).cast("long").alias("maxabs"))
+    q = vi.join(scale, "vec_id").select(
+        "vec_id",
+        "dim",
+        "vi",
+        "maxabs",
+        F.when(F.col("maxabs") == 0, F.lit(0))
+        .otherwise(
+            F.signum("vi").cast("long")
+            * F.expr(f"(abs(vi) * {QUANT_LEVELS}) DIV maxabs")
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    recon = F.when(F.col("maxabs") == 0, F.lit(0)).otherwise(
+        F.signum("q").cast("long")
+        * F.expr(f"(abs(q) * maxabs) DIV {QUANT_LEVELS}")
+    )
+    return (
+        q.withColumn("err", F.abs(F.col("vi") - recon))
+        .groupBy("vec_id")
+        .agg(
+            F.max("maxabs").cast("long").alias("maxabs"),
+            F.min("q").cast("long").alias("q_min"),
+            F.max("q").cast("long").alias("q_max"),
+            F.sum(F.col("dim") * F.col("q")).cast("long").alias("q_dot"),
+            F.sum((F.abs("q") == QUANT_LEVELS).cast("int"))
+            .cast("long")
+            .alias("n_saturated"),
+            F.sum("err").cast("long").alias("err_sum"),
+            F.max("err").cast("long").alias("err_max"),
+        )
+    )
+
+
+_O_QUANT = f"""
+WITH vi AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding::DOUBLE[]) * {TRAIN_SCALE})::BIGINT AS vi
+  FROM embeddings),
+s AS (SELECT vec_id, MAX(abs(vi))::BIGINT AS maxabs FROM vi GROUP BY vec_id),
+q AS (
+  SELECT vi.vec_id, dim, vi, maxabs,
+         CASE WHEN maxabs = 0 THEN 0
+              ELSE sign(vi)::BIGINT * ((abs(vi) * {QUANT_LEVELS}) // maxabs)
+         END::BIGINT AS q
+  FROM vi JOIN s ON vi.vec_id = s.vec_id),
+e AS (
+  SELECT *, abs(vi - CASE WHEN maxabs = 0 THEN 0
+                          ELSE sign(q)::BIGINT * ((abs(q) * maxabs) // {QUANT_LEVELS})
+                     END) AS err
+  FROM q)
+SELECT vec_id, MAX(maxabs)::BIGINT AS maxabs,
+       MIN(q)::BIGINT AS q_min, MAX(q)::BIGINT AS q_max,
+       SUM(dim * q)::BIGINT AS q_dot,
+       SUM((abs(q) = {QUANT_LEVELS})::INT)::BIGINT AS n_saturated,
+       SUM(err)::BIGINT AS err_sum, MAX(err)::BIGINT AS err_max
+FROM e GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "cosine_topk": QueryDef(_cosine_topk, _O_COSINE, "exact brute-force cosine top-k (broadcast argmax)"),
+    "embedding_quantize": QueryDef(
+        _q_embedding_quantize,
+        _O_QUANT,
+        "int8 symmetric embedding quantization, integer-exact codes + reconstruction-error summary",
+    ),
     "ivf_topk": QueryDef(_ivf_topk, _O_IVF, "IVF ANN: coarse quantize -> inverted-list join -> exact rerank"),
     "ivf_train_loop": QueryDef(
         lambda spark, sf_dir: _ivf_train_loop(spark, sf_dir),

@@ -96,3 +96,19 @@ def test_heaps_curve_monotone_and_conserves_totals(spark):
     toks = _toks_nonempty(spark, SF)
     assert occ[-1] == toks.count()
     assert dis[-1] == toks.select("tok").distinct().count()
+
+def test_embedding_quantize_invariants(spark):
+    """int8 code range, saturation at the max-magnitude element, and the
+    quantization-step error bound err <= maxabs/127 + 1."""
+    from ocr_lib_spark.plans.vectors import QUANT_LEVELS, _q_embedding_quantize
+
+    rows = _q_embedding_quantize(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert -QUANT_LEVELS <= r["q_min"] <= r["q_max"] <= QUANT_LEVELS
+        if r["maxabs"] > 0:
+            # the max-|v| element always saturates to +/-127 with zero error
+            assert r["n_saturated"] >= 1
+            assert r["err_max"] <= r["maxabs"] // QUANT_LEVELS + 1
+        else:
+            assert (r["q_min"], r["q_max"], r["err_sum"]) == (0, 0, 0)
