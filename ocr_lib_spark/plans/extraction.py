@@ -1069,6 +1069,80 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _q_stream_session_window(spark, sf_dir):
+    """STREAMING session windows — the built-in stateful session
+    aggregation (F.session_window + watermark, append mode) driven to
+    completion over a file-replayed event stream and gated against the
+    same batch oracle as session_window_agg: stream == batch.
+
+    This exercises the one stateful-streaming feature the engine's
+    custom operators don't: Spark's own cross-micro-batch SESSION MERGE
+    (a session split across micro-batches must coalesce in the state
+    store before emission). Determinism per the established protocol:
+    the watermark delay (31 days) exceeds the corpus's full event-time
+    span (30 days), so no replayed row is ever late regardless of file
+    modTime order; a far-future poke row (user_id -1, filtered from the
+    result) written AFTER the data files advances the watermark past
+    every session end + gap so all sessions flush (the __wm_poke__
+    convention of stream_conv_assembly)."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
+    tag = _hashlib.md5(f"sesswin|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    src = f"/tmp/ocr_stream_sesswin_src_{tag}"
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if not _Path(src, "_SUCCESS").exists():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(6).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        poke = (
+            spark.createDataFrame([(-1, -1, "poke", 0.0, "")], schema=
+                "event_id long, user_id long, event_type string, value double, props string")
+            .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 65 DAYS"))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+        poke.write.mode("append").parquet(src)
+
+    name = f"stream_sesswin_{tag}"
+    spark.catalog.dropTempView(name)
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sessions = (
+        sdf.withWatermark("ts", "31 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).where(F.col("user_id") != -1)
+
+
 def _q_stream_extract(spark, sf_dir):
     """Streaming extraction under the driver's own gate: the transcript
     fixture is staged once as a multi-file parquet source, driven to
@@ -1471,6 +1545,11 @@ QUERIES = {
         _q_session_window,
         _ORACLE_SESSION_WINDOW,
         "Spark-native session windows (30 min gap) per user",
+    ),
+    "stream_session_window": QueryDef(
+        _q_stream_session_window,
+        _ORACLE_SESSION_WINDOW,
+        "STREAMING session windows (cross-micro-batch session merge) == the batch oracle",
     ),
     "stream_extract_text": QueryDef(
         _q_stream_extract,

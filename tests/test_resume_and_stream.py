@@ -504,3 +504,64 @@ def test_stateful_assembly_mega_conversation_bounded_state(spark, tmp_path):
     assert int(got["n_turns"]) == n == int(exp["n_turns"])
     assert int(got["n_content_turns"]) == int(exp["n_content_turns"])
     assert int(got["n_state_chunks"]) == math.ceil(n / chunk_turns)
+
+
+def test_stream_session_window_merges_across_microbatches(spark, tmp_path):
+    """A session split across two single-file micro-batches must
+    coalesce in the state store and emit as ONE session (Spark's
+    streaming session merge — the feature stream_session_window gates).
+    File A holds the session's first half, file B (written later, so
+    replayed later under maxFilesPerTrigger=1) the second half within
+    the 30-min gap, plus a far-future poke to flush."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ts = lambda **kw: (base + pd.Timedelta(**kw)).to_pydatetime()  # noqa: E731
+    rows_a = [(i, ts(minutes=10 * i), 7, "e", 0.0, "") for i in range(3)]
+    # second half: 20 min after the last of A (inside the 30-min gap),
+    # plus a separate later session (2h after) to prove gap-splitting
+    rows_b = [
+        (10, ts(minutes=40), 7, "e", 0.0, ""),
+        (11, ts(minutes=50), 7, "e", 0.0, ""),
+        (12, ts(hours=3), 7, "e", 0.0, ""),
+        (99, ts(days=90), -1, "poke", 0.0, ""),
+    ]
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{src}/a.parquet")
+    time.sleep(1.1)  # file-source replay order is modification time
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    sessions = (
+        sdf.withWatermark("ts", "31 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "first_event")
+    )
+    name = "t_sess_merge"
+    spark.catalog.dropTempView(name)
+    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = sorted(
+        ((r["session_start"], r["n_events"], r["first_event"])
+         for r in spark.table(name).where(F.col("user_id") == 7).collect())
+    )
+    # one MERGED session of 5 events (0..20min from A + 40,50min from B
+    # chain within 30-min gaps), then a separate 1-event session at +3h
+    assert out == [
+        (base.to_pydatetime(), 5, 0),
+        ((base + pd.Timedelta(hours=3)).to_pydatetime(), 1, 12),
+    ]
