@@ -143,6 +143,13 @@ HEADLINE = [
     "bpe_merge_loop",  # added round 7 (3-round vocab induction, plan-side argmax between rounds)
     "bpe_apply_merges",  # added round 7 (tokenize with induced merges, per-doc budgets)
     "decontaminate_spans",  # added round 7 (char-span provenance per contamination hit)
+    "tool_call_bigrams",  # added round 7 (agent tool-flow transition census, START state)
+    "tool_output_stats",  # added round 7 (tool-output census over real extraction)
+    "ctx_truncate",  # added round 7 (longest-suffix context-window truncation)
+    "tfidf_topk",  # added round 7 (integer-exact TF-IDF, two-phase per-term top-k)
+    "inverted_index_stats",  # added round 7 (posting shard census, XOR checksums)
+    "heaps_law_curve",  # added round 7 (vocabulary growth via first-occurrence histogram)
+    "embedding_quantize",  # added round 7 (int8 codes + reconstruction-error summary)
 ]
 
 

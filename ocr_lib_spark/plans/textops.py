@@ -1361,6 +1361,177 @@ WHERE len(list_intersect(x.s, y.s))::DOUBLE
         / len(list_distinct(list_concat(x.s, y.s))) >= {NEAR_DUP_JACCARD_T}
 """
 
+# --- containment dedup (Broder's second measure) -----------------------------
+# Resemblance (Jaccard) misses QUOTE-INCLUSION: a short doc wholly
+# pasted inside a long one has tiny |∩|/|∪| but containment
+# |∩|/|A| ≈ 1 — the duplicate class Lee et al. 2022 report LSH missing
+# at corpus scale. Same two-stage shape as near_dup_verified (LSH
+# candidates bound the quadratic; the exact kernel runs only on
+# candidates), but the verdict is per-DIRECTION integer basis points
+# (10000*|∩| DIV |side|) and a relation class: 'dup' when Jaccard
+# clears the resemblance bar, else 'a_in_b' / 'b_in_a' when one-sided
+# containment clears CONTAIN_BP. Thresholds applied on integers — no
+# float in any predicate.
+
+CONTAIN_BP = 8000  # keep pairs with >= 80% one-sided shingle containment
+
+
+def _containment_dedup(spark, sf_dir):
+    """Scale shape: identical to near_dup_verified (bucketed LSH
+    candidates, hot-bucket cap, Arrow set kernel on candidates only);
+    adds per-side cardinalities so both containment directions come out
+    of one kernel pass.
+
+    Honest recall caveat: resemblance-LSH candidates under-recall PURE
+    containment (a band matches with probability ~J^rows, and J is
+    small exactly when containment is one-sided) — this tier classifies
+    the pairs that do surface; the suffix-based substring_scrub is the
+    engine's high-recall path for unaligned inclusion. The asymmetric
+    branches are pinned by T test_containment_relation_classes with an
+    injected candidate pair."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(d, n_hashes=N_HASHES, k=SHINGLE_K)
+    cand = lsh_candidate_pairs(
+        sig,
+        n_hashes=N_HASHES,
+        band_rows=NEAR_DUP_BAND_ROWS,
+        max_bucket_size=NEAR_DUP_MAX_BUCKET,
+    )
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_inter", T.LongType()),
+                T.StructField("n_a", T.LongType()),
+                T.StructField("n_b", T.LongType()),
+            ]
+        )
+    )
+    def set_counts3(ta, tb):
+        import pandas as pd
+
+        k = SHINGLE_K
+        cache: dict = {}
+
+        def sh(t):
+            if not isinstance(t, str):
+                t = ""
+            s = cache.get(t)
+            if s is None:
+                s = (
+                    {t[i : i + k] for i in range(len(t) - k + 1)}
+                    if len(t) > k - 1
+                    else {t[:k]}
+                )
+                cache[t] = s
+            return s
+
+        ni, na, nb = [], [], []
+        for x, y in zip(ta.astype(object), tb.astype(object)):
+            sx, sy = sh(x), sh(y)
+            ni.append(len(sx & sy))
+            na.append(len(sx))
+            nb.append(len(sy))
+        return pd.DataFrame({"n_inter": ni, "n_a": na, "n_b": nb})
+
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", set_counts3("ta", "tb").alias("c"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("c.n_inter").alias("n_inter"),
+            F.col("c.n_a").alias("n_a"),
+            F.col("c.n_b").alias("n_b"),
+            F.expr("(10000 * c.n_inter) DIV c.n_a").cast("long").alias("cont_ab_bp"),
+            F.expr("(10000 * c.n_inter) DIV c.n_b").cast("long").alias("cont_ba_bp"),
+            # integer Jaccard test: 100*|∩| >= 35*|∪| <=> J >= 0.35
+            (
+                F.lit(100) * F.col("c.n_inter")
+                >= F.lit(int(NEAR_DUP_JACCARD_T * 100))
+                * (F.col("c.n_a") + F.col("c.n_b") - F.col("c.n_inter"))
+            ).alias("is_dup"),
+        )
+    )
+    return scored.where(
+        (F.col("cont_ab_bp") >= CONTAIN_BP) | (F.col("cont_ba_bp") >= CONTAIN_BP)
+    ).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        "cont_ab_bp",
+        "cont_ba_bp",
+        F.when(F.col("is_dup"), F.lit("dup"))
+        .when(F.col("cont_ab_bp") >= CONTAIN_BP, F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+        .alias("relation"),
+    )
+
+
+def _containment_oracle() -> str:
+    n_bands = N_HASHES // NEAR_DUP_BAND_ROWS
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, %d AS band_idx, md5(%s) AS band_hash FROM sig"
+        % (
+            b,
+            " || '|' || ".join(
+                f"h{b * NEAR_DUP_BAND_ROWS + r}::VARCHAR"
+                for r in range(NEAR_DUP_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    jt = int(NEAR_DUP_JACCARD_T * 100)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS x FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                               i -> substring(text, i, {SHINGLE_K})))) AS s
+    FROM documents)),
+sig AS (
+  SELECT doc_id, {_minhash_sql_mins()}
+  FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz FROM bands),
+kept AS (SELECT doc_id, band_idx, band_hash FROM sized WHERE bsz <= {NEAR_DUP_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1),
+                                      i -> substring(text, i, {SHINGLE_K}))) AS s
+  FROM documents),
+m AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.s, y.s))::BIGINT AS n_inter,
+         len(x.s)::BIGINT AS n_a, len(y.s)::BIGINT AS n_b
+  FROM cand JOIN shs x ON x.doc_id = id_a JOIN shs y ON y.doc_id = id_b),
+sc AS (
+  SELECT *, ((10000 * n_inter) // n_a)::BIGINT AS cont_ab_bp,
+         ((10000 * n_inter) // n_b)::BIGINT AS cont_ba_bp,
+         (100 * n_inter >= {jt} * (n_a + n_b - n_inter)) AS is_dup
+  FROM m)
+SELECT id_a, id_b, n_inter, n_a, n_b, cont_ab_bp, cont_ba_bp,
+       CASE WHEN is_dup THEN 'dup'
+            WHEN cont_ab_bp >= {CONTAIN_BP} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM sc
+WHERE cont_ab_bp >= {CONTAIN_BP} OR cont_ba_bp >= {CONTAIN_BP}
+"""
+
+
 # --- Unicode under the driver gate (round-2 judge item #6) -------------------
 # The gated corpus is ASCII-only (sources/synth.py), so UTF-8 semantics
 # of shingles/tokens/md5 were pytest-proven but never externally
@@ -2030,6 +2201,11 @@ QUERIES = {
     "minhash_sigs": QueryDef(_minhash, _minhash_oracle(), "MinHash signatures over shingle sets"),
     "lsh_candidate_pairs": QueryDef(_lsh_pairs, _lsh_pairs_oracle(), "banded LSH near-dup candidates"),
     "near_dup_verified": QueryDef(_near_dup_verified, _near_dup_verified_oracle(), "canonical MinHash-LSH near-dup: candidates -> exact Jaccard >= tau"),
+    "containment_dedup": QueryDef(
+        _containment_dedup,
+        _containment_oracle(),
+        "Broder containment tier: per-direction |inter|/|side| basis points + relation class on LSH candidates",
+    ),
     "near_dup_clusters": QueryDef(
         _near_dup_clusters,
         _near_dup_clusters_oracle(),

@@ -940,3 +940,45 @@ def test_decontaminate_spans_locate_grams_exactly(spark, docs):
     for r in spans:
         per_doc.setdefault(r.doc_id, set()).add(r.gram_md5)
     assert {d: len(g) for d, g in per_doc.items()} == counts
+
+
+def test_containment_relation_classes(spark, tmp_path, monkeypatch):
+    """containment_dedup's classification stage: a short doc wholly
+    pasted inside a long one must class as containment (a_in_b /
+    b_in_a), NOT resemblance-dup; near-identical docs class as 'dup'.
+    The LSH candidate generator is monkeypatched to hand the scorer the
+    pairs directly — resemblance-LSH under-recalls pure containment by
+    design (the docstring's caveat); this pins the scorer."""
+    import ocr_lib_spark.plans.textops as tx
+
+    words = ["alpha", "bravo", "carol", "delta", "echo_", "fox__", "golf_",
+             "hotel", "india", "julie"]
+    long_text = " ".join(words[i % 10] + str(i) for i in range(120))
+    quote = long_text[200:290]  # a contiguous quote, ~12% of the long doc
+    near_dup = long_text[:-12] + " tail change"
+    docs = spark.createDataFrame(
+        [(0, long_text, "en", "s", len(long_text)),
+         (1, quote, "en", "s", len(quote)),
+         (2, near_dup, "en", "s", len(near_dup))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def all_pairs(sig, **kw):
+        return spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2)], "id_a long, id_b long"
+        )
+
+    monkeypatch.setattr(tx, "lsh_candidate_pairs", all_pairs)
+    out = {(r["id_a"], r["id_b"]): r
+           for r in tx._containment_dedup(spark, sf_dir).collect()}
+    # quote ⊂ long doc: every shingle of doc1 appears in doc0 ->
+    # cont_ba = 10000, jaccard ~0.12 < 0.35 -> pure containment b_in_a
+    r01 = out[(0, 1)]
+    assert r01["relation"] == "b_in_a" and r01["cont_ba_bp"] == 10000
+    assert r01["cont_ab_bp"] < 3500
+    # near-identical pair: resemblance wins the class
+    assert out[(0, 2)]["relation"] == "dup"
+    # quote vs near_dup: quote region survives the tail edit -> b_in_a
+    assert out[(1, 2)]["relation"] == "dup" or out[(1, 2)]["id_a"] == 1
