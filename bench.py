@@ -150,6 +150,9 @@ HEADLINE = [
     "inverted_index_stats",  # added round 7 (posting shard census, XOR checksums)
     "heaps_law_curve",  # added round 7 (vocabulary growth via first-occurrence histogram)
     "embedding_quantize",  # added round 7 (int8 codes + reconstruction-error summary)
+    "containment_dedup",  # added round 7 (Broder containment tier on LSH candidates)
+    "link_census",  # added round 7 (corpus href census, boilerplate share)
+    "doc_length_histogram",  # added round 7 (power-of-two length histogram)
 ]
 
 

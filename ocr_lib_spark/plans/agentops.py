@@ -259,6 +259,67 @@ FROM base LEFT JOIN kept ON base.conv_id = kept.conv_id
 """
 
 
+def _q_link_census(spark, sf_dir) -> DataFrame:
+    """Corpus link census over RAW transcript payloads: every href
+    target's occurrence count, containing-turn count, and share of all
+    turns in basis points — the corpus-wide aggregation of the
+    link-density signal the extraction classifier uses per block
+    (features.py link_density; check-matching-fn core.clj:1020-1069
+    generalization). A target appearing in a large share of turns IS
+    boilerplate (nav/footer chrome); this table is where a pipeline
+    owner reads that threshold off real data.
+
+    Scale shape: regexp_extract_all + explode (pure codegen, no UDF),
+    then the two-stage distinct discipline — (href, conv, turn)
+    pre-aggregate before the href rollup, never COUNT(DISTINCT) over a
+    hot boilerplate key; the total-turn census broadcasts as one row."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    links = tr.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.expr(r"""regexp_extract_all(text, 'href="([^"]*)"', 1)""")).alias(
+            "href"
+        ),
+    )
+    per_turn = links.groupBy("href", "conv_id", "turn_idx").agg(
+        F.count("*").alias("c")
+    )
+    tot = tr.agg(F.count("*").cast("long").alias("total_turns"))
+    return (
+        per_turn.groupBy("href")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_turns"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "href",
+            "n_occurrences",
+            "n_turns",
+            F.expr("(10000 * n_turns) DIV total_turns").cast("long").alias("turn_share_bp"),
+        )
+    )
+
+
+def _link_census_oracle() -> str:
+    from ocr_lib_spark.sources.synth import duckdb_transcripts_cte
+
+    return f"""
+WITH tr AS ({duckdb_transcripts_cte()}),
+links AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, 'href="([^"]*)"', 1)) AS href
+  FROM tr),
+pt AS (
+  SELECT href, conv_id, turn_idx, COUNT(*) AS c
+  FROM links GROUP BY href, conv_id, turn_idx),
+tot AS (SELECT COUNT(*)::BIGINT AS total_turns FROM tr)
+SELECT href, SUM(c)::BIGINT AS n_occurrences, COUNT(*)::BIGINT AS n_turns,
+       ((10000 * COUNT(*)) // total_turns)::BIGINT AS turn_share_bp
+FROM pt, tot GROUP BY href, total_turns
+"""
+
+
 QUERIES = {
     "tool_call_bigrams": QueryDef(
         _q_tool_call_bigrams,
@@ -274,5 +335,10 @@ QUERIES = {
         _q_ctx_truncate,
         _ctx_truncate_oracle(),
         "context-window truncation: longest turn suffix fitting the token budget, per conversation",
+    ),
+    "link_census": QueryDef(
+        _q_link_census,
+        _link_census_oracle(),
+        "corpus href census over raw payloads: occurrence/turn counts + boilerplate share (bp)",
     ),
 }

@@ -286,7 +286,54 @@ FROM occ LEFT JOIN fob ON occ.bucket = fob.bucket
 """
 
 
+def _q_doc_length_histogram(spark, sf_dir) -> DataFrame:
+    """Doc-length histogram in power-of-two buckets (bucket =
+    ilog2(n_tokens + 1), the integer-log2 convention) — the length
+    distribution a packing/chunking config is sized from, and the
+    first chart on any dataset card. One combinable groupBy over a
+    ~log(max_len) bucket key; integer-exact everywhere."""
+    from ocr_lib_spark.functions.text import bpe_token_count
+    from ocr_lib_spark.plans.textops import _docs
+
+    d = _docs(spark, sf_dir).select(
+        bpe_token_count(F.coalesce("text", F.lit(""))).cast("long").alias("ntok")
+    )
+    return (
+        d.select(
+            "ntok",
+            (F.length(F.expr("bin(ntok + 1)")) - 1).cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.min("ntok").cast("long").alias("min_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+def _doc_length_histogram_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT len(regexp_extract_all(COALESCE(text, ''), '{bpe_sql}'))::BIGINT AS ntok
+  FROM documents)
+SELECT (length(bin(ntok + 1)) - 1)::INT AS bucket,
+       COUNT(*)::BIGINT AS n_docs, SUM(ntok)::BIGINT AS sum_tokens,
+       MIN(ntok)::BIGINT AS min_tokens, MAX(ntok)::BIGINT AS max_tokens
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
+    "doc_length_histogram": QueryDef(
+        _q_doc_length_histogram,
+        _doc_length_histogram_oracle(),
+        "doc-length histogram in power-of-two buckets (integer log2, dataset-card stat)",
+    ),
     "tfidf_topk": QueryDef(
         _q_tfidf_topk,
         _tfidf_oracle(),

@@ -96,3 +96,18 @@ def test_tool_bigrams_start_state_counts_first_calls(spark, tmp_path):
     # one tool call per conv -> no non-START transitions at this layout
     assert all(r["tool_a"] == "START" for r in out)
     assert sum(r["n_pairs"] for r in out) == 100
+
+def test_link_census_flags_boilerplate_chrome(spark):
+    """NAV/FOOTER hrefs appear in every boilerplate-wrapped turn; the
+    LINKFARM pages only in case-2 turns — their turn shares must order
+    accordingly, and occurrence counts must exceed turn counts only via
+    multi-occurrence payloads."""
+    from ocr_lib_spark.plans.agentops import _q_link_census
+
+    rows = {r["href"]: r for r in _q_link_census(spark, "/root/testdata/sf0.001").collect()}
+    assert "/home" in rows and "/page1" in rows
+    # nav chrome (cases 1,2,5) covers ~3/7 of turns; linkfarm only ~1/7
+    assert rows["/home"]["turn_share_bp"] > rows["/page1"]["turn_share_bp"]
+    for r in rows.values():
+        assert r["n_occurrences"] >= r["n_turns"] > 0
+        assert 0 < r["turn_share_bp"] <= 10000
