@@ -153,6 +153,8 @@ HEADLINE = [
     "containment_dedup",  # added round 7 (Broder containment tier on LSH candidates)
     "link_census",  # added round 7 (corpus href census, boilerplate share)
     "doc_length_histogram",  # added round 7 (power-of-two length histogram)
+    "event_funnel",  # added round 7 (sequential conversion funnel, chained min-after aggs)
+    "dedup_cluster_census",  # added round 7 (cluster-size histogram over the closure)
 ]
 
 

@@ -920,8 +920,97 @@ FROM events GROUP BY event_type
 """
 
 
+# --- sequential funnel over event streams ------------------------------------
+# The ordered A -> B -> C conversion census (view -> click -> purchase):
+# stage N+1 counts only events STRICTLY AFTER the user's stage-N time —
+# the sequential constraint a plain per-type count can't express.
+# Relational shape (no per-user collect, no recursion): three chained
+# per-user MIN aggregations, each joined to the previous stage's time
+# on user_id — every agg is map-side combinable, every join is a
+# shrinking user_id equi-join (stage tables only lose users), so the
+# plan holds at any event volume. Strict '>' is the pinned contract:
+# simultaneous events never chain. Reference analog: the staged
+# progress gates of the grouping loop (core.clj:877-955) as a funnel.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _q_event_funnel(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = ev.groupBy().agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    c1 = s1.groupBy().agg(F.count("*").cast("long").alias("n_stage1"))
+    c2 = s2.groupBy().agg(F.count("*").cast("long").alias("n_stage2"))
+    c3 = s3.groupBy().agg(F.count("*").cast("long").alias("n_stage3"))
+    return (
+        n.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_users",
+            "n_stage1",
+            "n_stage2",
+            "n_stage3",
+            F.expr("(10000 * n_stage1) DIV n_users").cast("long").alias("s1_bp"),
+            F.expr("CASE WHEN n_stage1 = 0 THEN 0 ELSE (10000 * n_stage2) DIV n_stage1 END")
+            .cast("long")
+            .alias("s2_of_s1_bp"),
+            F.expr("CASE WHEN n_stage2 = 0 THEN 0 ELSE (10000 * n_stage3) DIV n_stage2 END")
+            .cast("long")
+            .alias("s3_of_s2_bp"),
+        )
+    )
+
+
+_O_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t2 GROUP BY e.user_id),
+n AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events),
+c1 AS (SELECT COUNT(*)::BIGINT AS n_stage1 FROM s1),
+c2 AS (SELECT COUNT(*)::BIGINT AS n_stage2 FROM s2),
+c3 AS (SELECT COUNT(*)::BIGINT AS n_stage3 FROM s3)
+SELECT n_users, n_stage1, n_stage2, n_stage3,
+       ((10000 * n_stage1) // n_users)::BIGINT AS s1_bp,
+       (CASE WHEN n_stage1 = 0 THEN 0 ELSE (10000 * n_stage2) // n_stage1 END)::BIGINT AS s2_of_s1_bp,
+       (CASE WHEN n_stage2 = 0 THEN 0 ELSE (10000 * n_stage3) // n_stage2 END)::BIGINT AS s3_of_s2_bp
+FROM n, c1, c2, c3
+"""
+
+
 QUERIES = {
     "q1_scan_agg": QueryDef(_q1, _O_Q1, "scan+filter+aggregate (core.clj:332-396)"),
+    "event_funnel": QueryDef(
+        _q_event_funnel,
+        _O_FUNNEL,
+        "sequential view->click->purchase funnel: chained min-after aggregations, strict-order contract",
+    ),
     "bbox_minmax": QueryDef(_bbox, _O_BBOX, "grouped 4-way min/max bbox (core.clj:640-685)"),
     "top1_argmax": QueryDef(_top1, _O_TOP1, "per-group argmax, pinned tie-break (core.clj:1020-1069)"),
     "gap_sessionize": QueryDef(_sessions, _O_SESSIONS, "lag-gap sessionization (core.clj:1610-1621)"),

@@ -1632,6 +1632,38 @@ def _near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def _q_dedup_cluster_census(spark, sf_dir):
+    """Near-dup CLUSTER-SIZE census — the dataset-card view of the dedup
+    tier: for each cluster size, how many clusters, how many member
+    docs, and how many would be dropped by keep-one collapse. The
+    number every dedup report leads with ('X% of the corpus sits in
+    duplicate clusters of size >= k').
+
+    Scale shape: two combinable groupBys over the verified closure
+    output (cluster_id, then size) — output rows bounded by the number
+    of DISTINCT sizes (<= sqrt(2 * pairs)), never corpus size."""
+    lab = _near_dup_clusters(spark, sf_dir)
+    per_cluster = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return per_cluster.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("size")).cast("long").alias("n_member_docs"),
+        (F.count("*") * (F.col("size") - 1)).cast("long").alias("n_dropped"),
+    )
+
+
+def _dedup_cluster_census_oracle() -> str:
+    return f"""
+WITH lab0 AS ({_near_dup_clusters_oracle()}),
+pc AS (SELECT cluster_id, COUNT(*)::BIGINT AS size FROM lab0 GROUP BY cluster_id)
+SELECT size, COUNT(*)::BIGINT AS n_clusters,
+       (COUNT(*) * size)::BIGINT AS n_member_docs,
+       (COUNT(*) * (size - 1))::BIGINT AS n_dropped
+FROM pc GROUP BY size
+"""
+
+
 # --- training mix: the composed end-to-end pipeline --------------------------
 # What a 100 TB pretraining-data job actually runs, as ONE plan built
 # from the verified operators: near-dup CLUSTER dedup (drop everything
@@ -2205,6 +2237,11 @@ QUERIES = {
         _containment_dedup,
         _containment_oracle(),
         "Broder containment tier: per-direction |inter|/|side| basis points + relation class on LSH candidates",
+    ),
+    "dedup_cluster_census": QueryDef(
+        _q_dedup_cluster_census,
+        _dedup_cluster_census_oracle(),
+        "near-dup cluster-size census: clusters/members/dropped per size (dataset-card stat)",
     ),
     "near_dup_clusters": QueryDef(
         _near_dup_clusters,

@@ -112,3 +112,36 @@ def test_embedding_quantize_invariants(spark):
             assert r["err_max"] <= r["maxabs"] // QUANT_LEVELS + 1
         else:
             assert (r["q_min"], r["q_max"], r["err_sum"]) == (0, 0, 0)
+
+
+def test_event_funnel_strict_order_contract(spark, tmp_path):
+    """Clicks BEFORE the first view must not convert; simultaneous
+    timestamps must not chain (strict '>'); each stage counts a user
+    at most once."""
+    from datetime import datetime
+
+    from ocr_lib_spark.plans.relational import _q_event_funnel
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), 1, "view", 0.0, ""), (2, t(2), 1, "click", 0.0, ""),
+        (3, t(3), 1, "purchase", 0.0, ""),
+        # u2: click precedes the only view -> stalls at stage 1
+        (4, t(5), 2, "click", 0.0, ""), (5, t(6), 2, "view", 0.0, ""),
+        # u3: click simultaneous with view -> strict '>' blocks stage 2
+        (6, t(7), 3, "view", 0.0, ""), (7, t(7), 3, "click", 0.0, ""),
+        # u4: purchase without click -> stage 1 only
+        (8, t(8), 4, "view", 0.0, ""), (9, t(9), 4, "purchase", 0.0, ""),
+        # u5: no view at all -> not in any stage
+        (10, t(10), 5, "click", 0.0, ""), (11, t(11), 5, "purchase", 0.0, ""),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    r = _q_event_funnel(spark, sf).collect()[0]
+    assert (r["n_users"], r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (5, 4, 1, 1)
+    assert (r["s1_bp"], r["s2_of_s1_bp"], r["s3_of_s2_bp"]) == (8000, 2500, 10000)
