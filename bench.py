@@ -155,6 +155,9 @@ HEADLINE = [
     "doc_length_histogram",  # added round 7 (power-of-two length histogram)
     "event_funnel",  # added round 7 (sequential conversion funnel, chained min-after aggs)
     "dedup_cluster_census",  # added round 7 (cluster-size histogram over the closure)
+    "json_tool_parse",  # added round 7 (JSON-path tool-wrapper parse + malformed census)
+    "role_token_share",  # added round 7 (per-conversation role token mix, bp)
+    "tokenizer_fertility",  # added round 7 (BPE per ws word, exact ppm per lang)
 ]
 
 

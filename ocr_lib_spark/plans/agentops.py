@@ -320,6 +320,123 @@ FROM pt, tot GROUP BY href, total_turns
 """
 
 
+def _q_json_tool_parse(spark, sf_dir) -> DataFrame:
+    """Semi-structured parsing of tool-call wrapper payloads with the
+    engines' REAL JSON paths (Spark get_json_object / DuckDB
+    json_extract_string) instead of the extraction kernel's scanner —
+    the census that validates the two agree, and the API surface a
+    pipeline uses when the wrapper schema is known. Per extracted tool
+    name: turn count, output-size total, and the count of wrapper-like
+    payloads ('{'-prefixed) that FAILED JSON field extraction (both
+    engines yield NULL there — malformed wrappers are a real corpus
+    hazard, 0 in the driver fixture by construction).
+
+    Scale shape: one codegen map (JSON path on the '{'-prefix subset —
+    the predicate reaches the scan) + one combinable groupBy."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    j = tr.where(F.col("text").startswith("{")).select(
+        F.get_json_object("text", "$.tool_call").alias("tool_name"),
+        F.length(F.get_json_object("text", "$.output")).cast("long").alias("out_len"),
+    )
+    return j.groupBy(F.coalesce("tool_name", F.lit("__invalid__")).alias("tool_name")).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.coalesce(F.sum("out_len"), F.lit(0)).cast("long").alias("sum_output_chars"),
+    )
+
+
+def _json_tool_parse_oracle() -> str:
+    from ocr_lib_spark.sources.synth import duckdb_transcripts_cte
+
+    return f"""
+WITH tr AS ({duckdb_transcripts_cte()}),
+j AS (
+  SELECT CASE WHEN json_valid(text)
+              THEN json_extract_string(text, '$.tool_call') END AS tool_name,
+         CASE WHEN json_valid(text)
+              THEN length(json_extract_string(text, '$.output')) END::BIGINT AS out_len
+  FROM tr WHERE text LIKE '{{%')
+SELECT COALESCE(tool_name, '__invalid__') AS tool_name,
+       COUNT(*)::BIGINT AS n_turns,
+       COALESCE(SUM(out_len), 0)::BIGINT AS sum_output_chars
+FROM j GROUP BY 1
+"""
+
+
+def _q_role_token_share(spark, sf_dir) -> DataFrame:
+    """Per-conversation ROLE token mix in basis points (user vs
+    assistant vs tool share of extracted tokens) — the SFT diagnostic
+    that catches assistant-heavy synthetic data and tool-dump
+    conversations before they skew a loss mask. One bounded groupBy per
+    conversation; integer shares by floor DIV (shares sum to <= 10000,
+    remainder on the largest bucket is NOT redistributed — pinned)."""
+    from ocr_lib_spark.functions.text import bpe_token_count
+    from ocr_lib_spark.pipeline import extract_turns
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    t = extract_turns(tr).select(
+        "conv_id",
+        "role",
+        bpe_token_count("extracted_text").cast("long").alias("ntok"),
+    )
+    g = t.groupBy("conv_id").agg(
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("role") == "user", F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("user_tokens"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("assistant_tokens"),
+        F.sum(F.when(F.col("role") == "tool", F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("tool_tokens"),
+    )
+    bp = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN total_tokens = 0 THEN 0 ELSE (10000 * {c}) DIV total_tokens END"
+    ).cast("long")
+    return g.select(
+        "conv_id",
+        "total_tokens",
+        "user_tokens",
+        "assistant_tokens",
+        "tool_tokens",
+        bp("user_tokens").alias("user_bp"),
+        bp("assistant_tokens").alias("assistant_bp"),
+        bp("tool_tokens").alias("tool_bp"),
+    )
+
+
+def _role_token_share_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH per_turn AS (
+  SELECT {_CONV} AS conv_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE {_CASE}
+           WHEN 2 THEN text || chr(10) || text
+           WHEN 5 THEN '' WHEN 6 THEN ''
+           ELSE text END AS extracted_text
+  FROM documents),
+t AS (
+  SELECT conv_id, role,
+         len(regexp_extract_all(extracted_text, '{bpe_sql}'))::BIGINT AS ntok
+  FROM per_turn),
+g AS (
+  SELECT conv_id, SUM(ntok)::BIGINT AS total_tokens,
+         SUM(CASE WHEN role = 'user' THEN ntok ELSE 0 END)::BIGINT AS user_tokens,
+         SUM(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)::BIGINT AS assistant_tokens,
+         SUM(CASE WHEN role = 'tool' THEN ntok ELSE 0 END)::BIGINT AS tool_tokens
+  FROM t GROUP BY conv_id)
+SELECT conv_id, total_tokens, user_tokens, assistant_tokens, tool_tokens,
+       (CASE WHEN total_tokens = 0 THEN 0 ELSE (10000 * user_tokens) // total_tokens END)::BIGINT AS user_bp,
+       (CASE WHEN total_tokens = 0 THEN 0 ELSE (10000 * assistant_tokens) // total_tokens END)::BIGINT AS assistant_bp,
+       (CASE WHEN total_tokens = 0 THEN 0 ELSE (10000 * tool_tokens) // total_tokens END)::BIGINT AS tool_bp
+FROM g
+"""
+
+
 QUERIES = {
     "tool_call_bigrams": QueryDef(
         _q_tool_call_bigrams,
@@ -340,5 +457,15 @@ QUERIES = {
         _q_link_census,
         _link_census_oracle(),
         "corpus href census over raw payloads: occurrence/turn counts + boilerplate share (bp)",
+    ),
+    "json_tool_parse": QueryDef(
+        _q_json_tool_parse,
+        _json_tool_parse_oracle(),
+        "JSON-path parsing of tool-call wrappers (get_json_object twin), malformed-wrapper census",
+    ),
+    "role_token_share": QueryDef(
+        _q_role_token_share,
+        _role_token_share_oracle(),
+        "per-conversation role token mix in basis points (SFT loss-mask diagnostic)",
     ),
 }

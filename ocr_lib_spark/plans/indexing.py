@@ -328,7 +328,64 @@ FROM d GROUP BY 1
 """
 
 
+def _q_tokenizer_fertility(spark, sf_dir) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word, in exact parts-per-million — THE metric a
+    tokenizer evaluation reports per language/script (fertility >> 1e6
+    flags scripts the vocab serves poorly). One codegen map + one
+    combinable groupBy over the bounded lang key; ppm by integer DIV
+    on corpus-level sums (never an average of per-doc floats)."""
+    from ocr_lib_spark.functions.text import bpe_token_count
+    from ocr_lib_spark.plans.textops import _docs
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        bpe_token_count(F.coalesce("text", F.lit(""))).cast("long").alias("bpe"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("ws"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.expr(
+            "CASE WHEN SUM(ws) = 0 THEN 0 ELSE (1000000 * SUM(bpe)) DIV SUM(ws) END"
+        )
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT lang,
+         len(regexp_extract_all(COALESCE(text, ''), '{bpe_sql}'))::BIGINT AS bpe,
+         len(list_filter(string_split(trim(COALESCE(text, '')), ' '), x -> x <> ''))::BIGINT AS ws
+  FROM documents)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(bpe)::BIGINT AS bpe_tokens,
+       SUM(ws)::BIGINT AS ws_tokens,
+       (CASE WHEN SUM(ws) = 0 THEN 0
+             ELSE (1000000 * SUM(bpe)) // SUM(ws) END)::BIGINT AS fertility_ppm
+FROM d GROUP BY lang
+"""
+
+
 QUERIES = {
+    "tokenizer_fertility": QueryDef(
+        _q_tokenizer_fertility,
+        _tokenizer_fertility_oracle(),
+        "tokenizer fertility (BPE per whitespace word, exact ppm) per language",
+    ),
     "doc_length_histogram": QueryDef(
         _q_doc_length_histogram,
         _doc_length_histogram_oracle(),

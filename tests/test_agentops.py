@@ -111,3 +111,29 @@ def test_link_census_flags_boilerplate_chrome(spark):
     for r in rows.values():
         assert r["n_occurrences"] >= r["n_turns"] > 0
         assert 0 < r["turn_share_bp"] <= 10000
+
+
+def test_json_tool_parse_malformed_wrapper_census(spark, monkeypatch):
+    """A '{'-prefixed payload that fails JSON extraction lands in the
+    __invalid__ bucket on BOTH engines (Spark get_json_object -> NULL;
+    oracle json_valid guard -> NULL); non-wrapper payloads never enter."""
+    import ocr_lib_spark.plans.agentops as ag
+
+    frame = spark.createDataFrame(
+        [
+            ("c", 0, "user", '{"tool_call": "search", "output": "abcd"}', "search", None),
+            ("c", 1, "tool", '{"tool_call": "py", "output": "xy"}', "py", None),
+            ("c", 2, "user", '{broken json', "", None),
+            ("c", 3, "user", '{"other_key": 1}', "", None),
+            ("c", 4, "user", "plain text, no wrapper", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    monkeypatch.setattr(ag, "transcripts_from_documents", lambda s, d: frame)
+    out = {r["tool_name"]: r for r in ag._q_json_tool_parse(spark, "ignored").collect()}
+    assert out["search"]["sum_output_chars"] == 4
+    assert out["py"]["n_turns"] == 1
+    # broken JSON and valid-JSON-without-field both fail field extraction
+    assert out["__invalid__"]["n_turns"] == 2
+    assert out["__invalid__"]["sum_output_chars"] == 0
+    assert "plain" not in " ".join(out)  # non-wrapper rows filtered pre-parse
