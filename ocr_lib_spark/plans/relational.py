@@ -971,7 +971,9 @@ def _q_event_funnel(spark, sf_dir):
             "n_stage1",
             "n_stage2",
             "n_stage3",
-            F.expr("(10000 * n_stage1) DIV n_users").cast("long").alias("s1_bp"),
+            F.expr("CASE WHEN n_users = 0 THEN 0 ELSE (10000 * n_stage1) DIV n_users END")
+            .cast("long")
+            .alias("s1_bp"),
             F.expr("CASE WHEN n_stage1 = 0 THEN 0 ELSE (10000 * n_stage2) DIV n_stage1 END")
             .cast("long")
             .alias("s2_of_s1_bp"),
@@ -997,7 +999,7 @@ c1 AS (SELECT COUNT(*)::BIGINT AS n_stage1 FROM s1),
 c2 AS (SELECT COUNT(*)::BIGINT AS n_stage2 FROM s2),
 c3 AS (SELECT COUNT(*)::BIGINT AS n_stage3 FROM s3)
 SELECT n_users, n_stage1, n_stage2, n_stage3,
-       ((10000 * n_stage1) // n_users)::BIGINT AS s1_bp,
+       (CASE WHEN n_users = 0 THEN 0 ELSE (10000 * n_stage1) // n_users END)::BIGINT AS s1_bp,
        (CASE WHEN n_stage1 = 0 THEN 0 ELSE (10000 * n_stage2) // n_stage1 END)::BIGINT AS s2_of_s1_bp,
        (CASE WHEN n_stage2 = 0 THEN 0 ELSE (10000 * n_stage3) // n_stage2 END)::BIGINT AS s3_of_s2_bp
 FROM n, c1, c2, c3
