@@ -334,19 +334,21 @@ def _q_tokenizer_fertility(spark, sf_dir) -> DataFrame:
     tokenizer evaluation reports per language/script (fertility >> 1e6
     flags scripts the vocab serves poorly). One codegen map + one
     combinable groupBy over the bounded lang key; ppm by integer DIV
-    on corpus-level sums (never an average of per-doc floats)."""
-    from ocr_lib_spark.functions.text import bpe_token_count
-    from ocr_lib_spark.plans.textops import _docs
+    on corpus-level sums (never an average of per-doc floats).
 
+    Both the whitespace-word count and the BPE count run on the
+    HOSTILE_WS_SQL derived fixture (textops.py), and the oracle twin
+    splits on the same \\s+ regex — the shared whitespace contract
+    ADVICE r7 flagged (Spark \\s+ vs oracle ' ' diverged on any tab or
+    newline; the gate now exercises that axis on ~43% of docs)."""
+    from ocr_lib_spark.functions.text import bpe_token_count
+    from ocr_lib_spark.plans.textops import HOSTILE_WS_SQL, _docs
+
+    ht = F.expr(HOSTILE_WS_SQL.format(d="doc_id", t="COALESCE(text, '')"))
     d = _docs(spark, sf_dir).select(
         "lang",
-        bpe_token_count(F.coalesce("text", F.lit(""))).cast("long").alias("bpe"),
-        F.size(
-            F.filter(
-                F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
-                lambda x: x != "",
-            )
-        )
+        bpe_token_count(ht).cast("long").alias("bpe"),
+        F.size(F.filter(F.split(F.trim(ht), r"\s+"), lambda x: x != ""))
         .cast("long")
         .alias("ws"),
     )
@@ -364,13 +366,16 @@ def _q_tokenizer_fertility(spark, sf_dir) -> DataFrame:
 
 def _tokenizer_fertility_oracle() -> str:
     from ocr_lib_spark.functions.text import BPE_ISH_PATTERN
+    from ocr_lib_spark.plans.textops import HOSTILE_WS_SQL
 
     bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    ht = HOSTILE_WS_SQL.format(d="doc_id", t="COALESCE(text, '')")
     return f"""
 WITH d AS (
   SELECT lang,
-         len(regexp_extract_all(COALESCE(text, ''), '{bpe_sql}'))::BIGINT AS bpe,
-         len(list_filter(string_split(trim(COALESCE(text, '')), ' '), x -> x <> ''))::BIGINT AS ws
+         len(regexp_extract_all({ht}, '{bpe_sql}'))::BIGINT AS bpe,
+         len(list_filter(regexp_split_to_array(trim({ht}), '\\s+'),
+                         x -> x <> ''))::BIGINT AS ws
   FROM documents)
 SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(bpe)::BIGINT AS bpe_tokens,
        SUM(ws)::BIGINT AS ws_tokens,

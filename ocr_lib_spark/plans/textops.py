@@ -1918,17 +1918,48 @@ VOCAB_K = 20
 RARE_FACTOR = 2
 
 
+#: Hostile-whitespace derived fixture class (VERDICT r7 item 1, ADVICE
+#: r7 tokenizer_fertility item). The driver corpus is single-spaced
+#: printable ASCII at every scale, so a Spark-vs-oracle whitespace-
+#: tokenization disagreement was invisible to the hash gate (r7 had
+#: Spark splitting on \s+ while the oracle split on a literal ' ').
+#: Fix is one SHARED contract — both engines split on the \s+ regex —
+#: plus this derived fixture (the PII / boilerplate derived-collision
+#: convention): both engines rewrite doc_id%7 classes 1/3/5 in closed
+#: form so every space becomes '\t', '\n', or a mixed ' \t\n ' run
+#: BEFORE tokenizing. Token multisets are INVARIANT under the rewrite
+#: iff both engines implement the shared \s+ contract, so a
+#: single-character-split regression on EITHER side now hash-diverges
+#: at the gate on ~43% of docs instead of passing silently. The SQL
+#: fragment is engine-portable (replace/chr/|| behave identically in
+#: Spark SQL and DuckDB) — format with d=doc-id expr, t=text expr.
+HOSTILE_WS_SQL = (
+    "CASE CAST({d} % 7 AS INT)"
+    " WHEN 1 THEN replace({t}, ' ', chr(9))"
+    " WHEN 3 THEN replace({t}, ' ', chr(10))"
+    " WHEN 5 THEN replace({t}, ' ', ' ' || chr(9) || chr(10) || ' ')"
+    " ELSE {t} END"
+)
+
+
 def _toks_nonempty(spark, sf_dir):
+    hostile = HOSTILE_WS_SQL.format(d="doc_id", t="text")
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.expr(hostile)), r"\s+")).alias("tok"),
+        )
         .where(F.col("tok") != "")
     )
 
 
-_O_TOKS_CTE = """
+_O_TOKS_CTE = f"""
 toks AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+             trim({HOSTILE_WS_SQL.format(d="doc_id", t="text")}), '\\s+')) AS tok
+  FROM documents),
 tk AS (SELECT doc_id, tok FROM toks WHERE tok <> '')"""
 
 

@@ -145,3 +145,49 @@ def test_event_funnel_strict_order_contract(spark, tmp_path):
     r = _q_event_funnel(spark, sf).collect()[0]
     assert (r["n_users"], r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (5, 4, 1, 1)
     assert (r["s1_bp"], r["s2_of_s1_bp"], r["s3_of_s2_bp"]) == (8000, 2500, 10000)
+
+
+def test_hostile_ws_fixture_is_live_and_token_invariant(spark):
+    """The hostile-whitespace derived fixture (HOSTILE_WS_SQL) must
+    (a) actually inject tabs/newlines at gate scale — a rewrite that
+    never fires would leave the gate blind on the whitespace axis the
+    r7 ADVICE flagged — and (b) leave the token multiset invariant
+    under the shared \\s+ contract, so the six toks-family greens
+    carry over byte-for-byte. A single-space split (the r7 oracle
+    convention) must DIVERGE on the rewritten docs, proving the probe
+    can detect a contract regression on either engine."""
+    import duckdb
+
+    from ocr_lib_spark.plans.textops import HOSTILE_WS_SQL, _toks_nonempty
+
+    hostile = HOSTILE_WS_SQL.format(d="doc_id", t="text")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_rewritten = docs.where(
+        F.expr(f"({hostile}) <> text") & F.col("text").contains(" ")
+    ).count()
+    assert n_rewritten > 0  # classes 1/3/5 fire on the real fixture
+
+    # (b) token multiset invariance: hostile + \s+ == plain + \s+
+    plain = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    a = _toks_nonempty(spark, SF).groupBy("tok").count()
+    b = plain.groupBy("tok").count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # the probe is live: a literal single-space split over the hostile
+    # text yields a DIFFERENT token count (tabs/newlines not split)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    n_regex, n_space = con.execute(
+        f"""SELECT
+          (SELECT count(*) FROM (SELECT unnest(regexp_split_to_array(
+              trim({hostile}), '\\s+')) AS tok FROM documents) WHERE tok <> ''),
+          (SELECT count(*) FROM (SELECT unnest(string_split(
+              trim({hostile}), ' ')) AS tok FROM documents) WHERE tok <> '')"""
+    ).fetchone()
+    assert n_regex == plain.count()
+    assert n_space != n_regex
