@@ -33,6 +33,29 @@ _KIND_SQL = (
     "WHEN 2 THEN 'python' ELSE 'editor' END"
 )
 
+#: Tool-call WRAPPER GRAMMAR — the shared cross-engine validity
+#: contract for json_tool_parse (ADVICE r7, medium). Native validators
+#: provably disagree on malformed payloads: Spark get_json_object /
+#: try_parse_json accept '{"tool_call":"x"} trailing' while DuckDB
+#: json_valid rejects it, and json_valid accepts trailing commas / NaN
+#: / duplicate keys that Jackson rejects — so "malformed", the exact
+#: class this census exists to count, diverged cross-engine. The
+#: contract is therefore a FLAT JSON-object grammar (string/number/
+#: bool/null values, strict RFC-8259 numbers and escapes, \A..\z
+#: anchored so trailing bytes — including Java's $-before-final-
+#: newline allowance — fail) written once and run by both regex
+#: engines (Java / RE2: no backrefs, no lookaround). JSON-path
+#: extraction runs only on grammar-valid rows, where the engines
+#: agree byte-for-byte (pinned by the injected-frame parity test in
+#: tests/test_agentops.py over 21 adversarial payload classes).
+_WRAPPER_STR = r'"(?:[^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"'
+_WRAPPER_NUM = r"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+_WRAPPER_VAL = f"(?:{_WRAPPER_STR}|{_WRAPPER_NUM}|true|false|null)"
+WRAPPER_GRAMMAR = (
+    r"\A\{\s*(?:" + _WRAPPER_STR + r"\s*:\s*" + _WRAPPER_VAL
+    + r"(?:\s*,\s*" + _WRAPPER_STR + r"\s*:\s*" + _WRAPPER_VAL + r")*\s*)?\}\z"
+)
+
 #: context budget for ctx_truncate, in BPE-ish tokens. Fixture docs are
 #: 0-99 tokens and the case-2 payload doubles its text (~199 tokens max
 #: per turn), so 96 exercises BOTH branches on the fixture: most
@@ -129,7 +152,6 @@ def _q_tool_output_stats(spark, sf_dir) -> DataFrame:
     per_digest = ex.groupBy("tool_kind", "digest").agg(
         F.count("*").alias("c"),
         F.max("nc").alias("nc_max"),
-        F.sum("nc").alias("nc_sum"),
         F.max((F.col("nc") == 0).cast("int")).alias("empty"),
     )
     return per_digest.groupBy("tool_kind").agg(
@@ -327,16 +349,25 @@ def _q_json_tool_parse(spark, sf_dir) -> DataFrame:
     the census that validates the two agree, and the API surface a
     pipeline uses when the wrapper schema is known. Per extracted tool
     name: turn count, output-size total, and the count of wrapper-like
-    payloads ('{'-prefixed) that FAILED JSON field extraction (both
-    engines yield NULL there — malformed wrappers are a real corpus
-    hazard, 0 in the driver fixture by construction).
+    payloads ('{'-prefixed) that fail the WRAPPER_GRAMMAR contract or
+    lack a tool_call key (bucketed '__invalid__' — malformed wrappers
+    are a real corpus hazard, 0 in the driver fixture by construction).
+    Validity is the shared grammar, NOT each engine's native JSON
+    acceptance: ADVICE r7 showed those disagree on exactly the
+    malformed class this census counts (see the WRAPPER_GRAMMAR note);
+    the JSON paths run only on grammar-valid rows, where the engines
+    agree byte-for-byte.
 
-    Scale shape: one codegen map (JSON path on the '{'-prefix subset —
-    the predicate reaches the scan) + one combinable groupBy."""
+    Scale shape: one codegen map (grammar + JSON path on the
+    '{'-prefix subset — the predicate reaches the scan) + one
+    combinable groupBy."""
     tr = transcripts_from_documents(spark, sf_dir)
+    ok = F.col("text").rlike(WRAPPER_GRAMMAR)
     j = tr.where(F.col("text").startswith("{")).select(
-        F.get_json_object("text", "$.tool_call").alias("tool_name"),
-        F.length(F.get_json_object("text", "$.output")).cast("long").alias("out_len"),
+        F.when(ok, F.get_json_object("text", "$.tool_call")).alias("tool_name"),
+        F.when(ok, F.length(F.get_json_object("text", "$.output")))
+        .cast("long")
+        .alias("out_len"),
     )
     return j.groupBy(F.coalesce("tool_name", F.lit("__invalid__")).alias("tool_name")).agg(
         F.count("*").cast("long").alias("n_turns"),
@@ -345,14 +376,19 @@ def _q_json_tool_parse(spark, sf_dir) -> DataFrame:
 
 
 def _json_tool_parse_oracle() -> str:
+    # the grammar contains no single quotes (safe to embed verbatim);
+    # regexp_matches runs RE2 on the IDENTICAL pattern Spark's rlike
+    # runs under Java regex — the shared-contract subset (no backrefs,
+    # no lookaround, \A/\z anchors) behaves the same in both.
     from ocr_lib_spark.sources.synth import duckdb_transcripts_cte
 
+    g = WRAPPER_GRAMMAR
     return f"""
 WITH tr AS ({duckdb_transcripts_cte()}),
 j AS (
-  SELECT CASE WHEN json_valid(text)
+  SELECT CASE WHEN regexp_matches(text, '{g}')
               THEN json_extract_string(text, '$.tool_call') END AS tool_name,
-         CASE WHEN json_valid(text)
+         CASE WHEN regexp_matches(text, '{g}')
               THEN length(json_extract_string(text, '$.output')) END::BIGINT AS out_len
   FROM tr WHERE text LIKE '{{%')
 SELECT COALESCE(tool_name, '__invalid__') AS tool_name,

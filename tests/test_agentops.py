@@ -137,3 +137,66 @@ def test_json_tool_parse_malformed_wrapper_census(spark, monkeypatch):
     assert out["__invalid__"]["n_turns"] == 2
     assert out["__invalid__"]["sum_output_chars"] == 0
     assert "plain" not in " ".join(out)  # non-wrapper rows filtered pre-parse
+
+
+def test_wrapper_grammar_cross_engine_parity_adversarial():
+    """ADVICE r7 (medium): Spark get_json_object is lenient where DuckDB
+    json_valid is strict ('{...} trailing' extracted on Spark, bucketed
+    __invalid__ by the old oracle) and json_valid is lenient where
+    Jackson is strict (trailing commas, NaN, duplicate keys). The fix is
+    WRAPPER_GRAMMAR — one flat-object regex both engines run. This pins
+    the full adversarial battery: validity AND the extracted
+    (tool_call, length(output)) must agree byte-for-byte across engines
+    on every class, including the exact ADVICE reproducer."""
+    import duckdb
+
+    from ocr_lib_spark.plans.agentops import WRAPPER_GRAMMAR
+
+    cases = [
+        '{"tool_call": "x", "output": "y"}',
+        '{"tool_call": "x", "output": "y"} trailing',  # the ADVICE reproducer
+        '{"tool_call": "x",}',          # trailing comma: json_valid=true, Jackson=false
+        "{'tool_call': 'x'}",
+        '{"a": NaN}',                   # json_valid=true, Jackson=false
+        "{ }", "{}",
+        '{"a": 1e999}',
+        '{"dup": 1, "dup": 2}',         # json_valid=true, Jackson=false
+        '{"nested": {"tool_call": "x"}}',  # non-flat: outside the contract
+        '{"a": [1,2]}',
+        '{"tool_call": null}',
+        '{"a": 01}', '{"a": .5}',
+        '{"tool_call": "x\\ny"}',       # escaped newline decodes on both
+        '{"tool_call": "x\\u0041"}',    # \\u escape decodes on both
+        '{"tool_call": "x\\qy"}',       # invalid escape: outside the contract
+        '{"tool_call":"x"}\n',          # Java $ matches before final \n; \\z must not
+        '{"tool_call": "x"}\t',
+        '{"a":1,"tool_call":"t","output":"o"}',
+        '{"tool_call": "a\\"b", "output": "c\\\\d"}',
+        '{"tool_call":"a","tool_call":"b"}',  # dup tool_call key
+    ]
+
+    from ocr_lib_spark.session import get_spark
+
+    spark = get_spark(cores=4)
+    from pyspark.sql import functions as F
+
+    ok = F.col("text").rlike(WRAPPER_GRAMMAR)
+    srows = (
+        spark.createDataFrame([(c,) for c in cases], "text string")
+        .select(
+            ok.alias("m"),
+            F.when(ok, F.get_json_object("text", "$.tool_call")).alias("tn"),
+            F.when(ok, F.length(F.get_json_object("text", "$.output"))).alias("ol"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for c, r in zip(cases, srows):
+        dm, dtn, dol = con.execute(
+            "SELECT regexp_matches(?, ?), "
+            "CASE WHEN regexp_matches(?, ?) THEN json_extract_string(?, '$.tool_call') END, "
+            "CASE WHEN regexp_matches(?, ?) THEN length(json_extract_string(?, '$.output')) END",
+            [c, WRAPPER_GRAMMAR, c, WRAPPER_GRAMMAR, c, c, WRAPPER_GRAMMAR, c],
+        ).fetchone()
+        assert (bool(dm), dtn, dol) == (bool(r["m"]), r["tn"], r["ol"]), (
+            c, (dm, dtn, dol), (r["m"], r["tn"], r["ol"]))
