@@ -314,8 +314,19 @@ def run_headline(spark) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name in HEADLINE:
+        # Best-of-2, escalating to best-of-4 while the running best
+        # stays >2s (VERDICT r7 item 2: a roaming host window wrote
+        # dedup_keep_best at 14.86s into the permanent driver record
+        # when paired-control runs the same day measured 2.9-3.6s —
+        # with both base samples inside one bad window, best-of-2
+        # can't see out of it). The estimator stays MIN (the repo's
+        # fixed one-sided-noise convention: contention/JIT/GC only
+        # ever slow a run down), samples just keep coming while the
+        # evidence says we may still be inside a slow window.
         best = None
-        for _ in range(2):  # best-of-2: steady-state, not first-plan costs
+        for i in range(4):
+            if i >= 2 and best is not None and best <= 2.0:
+                break
             t0 = time.monotonic()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -755,7 +755,11 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
             probed = probe_image_dims(b)
             if probed is not None:
                 return probed[0], probed[1], "hdr"
-            return (b[0] % 64) + 1 if len(b) else 0, (len(b) % 64) + 1, "stub"
+            # empty payload: width 1, matching the oracle's closed form
+            # ascii(substring(text,1,1)) % 64 + 1 (DuckDB ascii('') = 0,
+            # so the oracle pins 1 — ADVICE r7 flagged the old 0 here as
+            # a latent divergence on any empty/NULL text doc)
+            return (b[0] % 64) + 1 if len(b) else 1, (len(b) % 64) + 1, "stub"
 
         for pdf in batches:
             raw = pdf[payload_col].map(_bytes)

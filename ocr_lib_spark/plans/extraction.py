@@ -1069,6 +1069,27 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _stage_poke_last(src: str, pre_existing: set) -> None:
+    """Deterministic file-replay order for the __wm_poke__ convention
+    (ADVICE r7): the file stream orders micro-batches by modification
+    time, and the flush-determinism argument requires the poke file to
+    be read AFTER every data file — if the poke (event time far in the
+    future, watermark delay sized to the DATA span) landed in an early
+    micro-batch, the watermark would jump past every data row and
+    append mode would silently drop them as late. Appending normally
+    yields a later mtime, but filesystem timestamp granularity can tie;
+    force a strict order by bumping every post-append part file 10s
+    above the data files' max mtime. Call with the set of part files
+    present BEFORE the poke append."""
+    import os
+    from pathlib import Path
+
+    base = max((p.stat().st_mtime for p in pre_existing), default=0.0)
+    for p in Path(src).glob("*.parquet"):
+        if p not in pre_existing:
+            os.utime(p, (base + 10.0, base + 10.0))
+
+
 def _q_stream_session_window(spark, sf_dir):
     """STREAMING session windows — the built-in stateful session
     aggregation (F.session_window + watermark, append mode) driven to
@@ -1084,14 +1105,22 @@ def _q_stream_session_window(spark, sf_dir):
     modTime order; a far-future poke row (user_id -1, filtered from the
     result) written AFTER the data files advances the watermark past
     every session end + gap so all sessions flush (the __wm_poke__
-    convention of stream_conv_assembly)."""
+    convention of stream_conv_assembly). The poke part files' mtimes
+    are forced strictly above every data file's (_stage_poke_last), so
+    the file source — which replays in modification-time order —
+    provably reads the poke last regardless of timestamp granularity
+    (ADVICE r7: a poke landing in an early micro-batch would advance
+    the watermark past every data row and drop them all as late)."""
     import hashlib as _hashlib
     from pathlib import Path as _Path
 
     from ocr_lib_spark.sources.lineage import parquet_snapshot_id
 
     snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
-    tag = _hashlib.md5(f"sesswin|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    # v2: staging protocol now forces the poke part file's mtime
+    # strictly above every data file's (_stage_poke_last) — version the
+    # tag so dirs staged under the old protocol are never reused
+    tag = _hashlib.md5(f"sesswin-v2|{sf_dir}|{snap}".encode()).hexdigest()[:8]
     src = f"/tmp/ocr_stream_sesswin_src_{tag}"
     ev_schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1107,7 +1136,13 @@ def _q_stream_session_window(spark, sf_dir):
             .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 65 DAYS"))
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
         )
-        poke.write.mode("append").parquet(src)
+        data_parts = set(_Path(src).glob("*.parquet"))
+        # coalesce(1): a 1-row createDataFrame parallelizes into
+        # defaultParallelism slices and can emit >1 part file (one
+        # empty) — keep the poke to exactly one part so "the poke"
+        # is one file, strictly last in mtime order
+        poke.coalesce(1).write.mode("append").parquet(src)
+        _stage_poke_last(src, data_parts)
 
     name = f"stream_sesswin_{tag}"
     spark.catalog.dropTempView(name)
@@ -1196,7 +1231,8 @@ def _q_stream_conv_assembly(spark, sf_dir):
     from ocr_lib_spark.streaming.stateful import assemble_conversations_stateful
 
     snap = parquet_snapshot_id(sf_dir).removeprefix("parquet:")
-    tag = _hashlib.md5(f"stateful|{sf_dir}|{snap}".encode()).hexdigest()[:8]
+    # v2: see _stage_poke_last — staging protocol version in the tag
+    tag = _hashlib.md5(f"stateful-v2|{sf_dir}|{snap}".encode()).hexdigest()[:8]
     src = f"/tmp/ocr_stream_conv_src_{tag}"
     tr = transcripts_from_documents(spark, sf_dir)
     if not _Path(src, "_SUCCESS").exists():
@@ -1206,7 +1242,11 @@ def _q_stream_conv_assembly(spark, sf_dir):
             [("__wm_poke__", 0, "user", "x", None)],
             "conv_id string, turn_idx int, role string, text string, tool string",
         ).withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 48 HOURS"))
-        poke.select(*[f.name for f in tr.schema.fields]).write.mode("append").parquet(src)
+        data_parts = set(_Path(src).glob("*.parquet"))
+        poke.select(*[f.name for f in tr.schema.fields]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _stage_poke_last(src, data_parts)
 
     name = f"stream_conv_{tag}"
     spark.catalog.dropTempView(name)

@@ -33,9 +33,11 @@ def test_decode_meta_schema_and_stub(payloads):
     assert r1.n_bytes == len(b"hello world, a payload of plain bytes")
     assert r1.decoder == "stub"
     assert r1.content_md5 == hashlib.md5(b"hello world, a payload of plain bytes").hexdigest()
-    # empty payload: dims 0/1, digest of empty bytes, never null
+    # empty payload: width 1 (the oracle's closed form
+    # ascii(substring(text,1,1))%64+1 = 1 on empty — ADVICE r7),
+    # height 1, digest of empty bytes, never null
     r3 = out[2]
-    assert (r3.width, r3.n_bytes) == (0, 0)
+    assert (r3.width, r3.n_bytes) == (1, 0)
     assert r3.content_md5 == hashlib.md5(b"").hexdigest()
 
 
@@ -133,7 +135,8 @@ def test_null_payload_behaves_as_empty(spark):
         [(1, b"abc"), (2, None)], "doc_id long, payload binary"
     )
     meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
-    assert (meta[2].n_bytes, meta[2].width, meta[2].decoder) == (0, 0, "stub")
+    # NULL -> empty bytes -> stub width 1 (oracle closed form, ADVICE r7)
+    assert (meta[2].n_bytes, meta[2].width, meta[2].decoder) == (0, 1, "stub")
     assert meta[2].content_md5 == hashlib.md5(b"").hexdigest()
     hist = {r.doc_id: r for r in byte_histogram(df).collect()}
     assert list(hist[2].hist) == [0] * 16

@@ -565,3 +565,35 @@ def test_stream_session_window_merges_across_microbatches(spark, tmp_path):
         (base.to_pydatetime(), 5, 0),
         ((base + pd.Timedelta(hours=3)).to_pydatetime(), 1, 12),
     ]
+
+
+def test_wm_poke_files_are_strictly_last_in_mtime_order(spark):
+    """ADVICE r7: the __wm_poke__ determinism argument requires the
+    file source (which replays in modification-time order) to read the
+    poke AFTER every data file. _stage_poke_last forces that; this pins
+    it on the real staged source dirs for both streaming queries."""
+    from pathlib import Path
+
+    from ocr_lib_spark.plans.extraction import (
+        _q_stream_conv_assembly,
+        _q_stream_session_window,
+    )
+
+    import hashlib
+
+    from ocr_lib_spark.sources.lineage import parquet_snapshot_id
+
+    sf = "/root/testdata/sf0.001"
+    _q_stream_session_window(spark, sf).count()
+    _q_stream_conv_assembly(spark, sf).count()
+    snap = parquet_snapshot_id(sf).removeprefix("parquet:")
+    for prefix, key in (
+        ("ocr_stream_sesswin_src", "sesswin-v2"),
+        ("ocr_stream_conv_src", "stateful-v2"),
+    ):
+        tag = hashlib.md5(f"{key}|{sf}|{snap}".encode()).hexdigest()[:8]
+        d = Path(f"/tmp/{prefix}_{tag}")
+        assert d.is_dir(), d
+        parts = sorted(d.glob("*.parquet"), key=lambda p: p.stat().st_mtime)
+        # exactly one poke append; it must sort strictly last
+        assert parts[-1].stat().st_mtime > parts[-2].stat().st_mtime
