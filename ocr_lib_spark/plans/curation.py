@@ -2451,6 +2451,169 @@ FROM cn, LATERAL unnest(range(n_chunks)) AS u(k)
     )
 
 
+# --- URL canonicalization + url-level dedup (VERDICT r7 item 5) --------------
+# The pre-content dedup tier crawl pipelines run FIRST: the same page
+# is fetched under scheme/host case variants, explicit default ports,
+# trailing slashes, permuted query-param order, and per-fetch tracking
+# params (utm_*, fbclid, gclid) — canonicalize the URL, keep the first
+# fetch per canonical form, and report per-host collapse rates. The
+# reference analog is the normalize-before-compare discipline of its
+# matching pipeline (bring-to-zero-coordinates, core.clj:999-1018:
+# translate to a canonical origin before equality tests).
+#
+# Fixture URLs (nav/footer hrefs) are path-only and carry none of the
+# canonicalization axes, so the query derives a hostile URL frame in
+# closed form from doc_id (the round-6 DERIVED-FIXTURE convention, PII
+# precedent): canonical identity = doc_id % 150 (host shard doc_id%6,
+# path doc_id%50, id param doc_id%25) while every RAW-variant axis is
+# keyed off the replica index g = floor(doc_id / 150) — scheme case
+# g%2, host case g%3, explicit :443 g%4, trailing slash g%5, param
+# order g%2, tracking params g%6<2 — so ids congruent mod 150 are the
+# SAME page under different raw spellings and the canonicalizer must
+# collapse them across every axis at once.
+#
+# ONE canonicalization template (canonical_url_sql) is shared by the
+# Spark side and the DuckDB oracle — only list-function NAMES differ
+# (split/filter/array_sort/array_join vs string_split/list_filter/
+# list_sort/array_to_string); the regexes, lambda bodies, and CASE
+# logic are literally the same string. Tracking-prefix tests use
+# substring(x,1,N) = '...' (identical in both engines) instead of
+# LIKE 'utm_%' where `_` is a wildcard.
+
+#: canonical-group modulus and the per-axis selectors (doc string above)
+URL_GROUP_MOD = 150
+
+_URL_LIST_FNS_SPARK = ("split", "filter", "array_sort", "array_join")
+_URL_LIST_FNS_DUCK = ("string_split", "list_filter", "list_sort", "array_to_string")
+
+
+def derived_url_sql(id_expr: str = "doc_id") -> str:
+    """Closed-form raw URL per doc — engine-neutral SQL (``||``, CASE,
+    CAST, upper, replace, floor are identical in Spark SQL and DuckDB).
+    floor(x/150.0) is exact for fixture-scale ids; production derives
+    no URLs (it reads them from a crawl frontier column)."""
+    i = id_expr
+    g = f"CAST(FLOOR({i} / {URL_GROUP_MOD}.0) AS BIGINT)"
+    host = f"'shard' || CAST({i} % 6 AS STRING) || '.example.com'"
+    return (
+        f"CASE WHEN {g} % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://' || "
+        f"CASE WHEN {g} % 3 = 1 THEN upper({host}) "
+        f"WHEN {g} % 3 = 2 THEN replace({host}, 'shard', 'Shard') "
+        f"ELSE {host} END || "
+        f"CASE WHEN {g} % 4 = 1 THEN ':443' ELSE '' END || "
+        f"'/p/' || CAST({i} % 50 AS STRING) || "
+        f"CASE WHEN {g} % 5 = 2 THEN '/' ELSE '' END || '?' || "
+        f"CASE WHEN {g} % 2 = 0 "
+        f"THEN 'id=' || CAST({i} % 25 AS STRING) || '&ref=home' "
+        f"ELSE 'ref=home&id=' || CAST({i} % 25 AS STRING) END || "
+        f"CASE WHEN {g} % 6 < 2 "
+        f"THEN '&utm_source=feed&fbclid=f' || CAST({i} AS STRING) ELSE '' END"
+    )
+
+
+def canonical_url_sql(u: str, list_fns: tuple[str, str, str, str]) -> str:
+    """The shared canonicalization expression over a URL column ``u``:
+    lower-case scheme and host, strip the scheme's default port
+    (https:443 / http:80), strip trailing slashes (bare host -> '/'),
+    drop tracking params (utm_* / fbclid / gclid), sort the surviving
+    query params, and reassemble. ``list_fns`` supplies the engine's
+    (split, filter, sort, join) names; everything else — regexes,
+    lambda bodies, CASE logic — is one string for both engines. All
+    regexes are single-match anchored so DuckDB's replace-first and
+    Spark's replace-all semantics coincide."""
+    split, lfilter, lsort, ljoin = list_fns
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"ELSE {hostport} END"
+    )
+    rawpath = f"regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    q = f"regexp_extract({u}, '[?]([^#]*)', 1)"
+    # COALESCE: DuckDB's array_to_string returns NULL on an empty list
+    # where Spark's array_join returns '' — pin the shared contract to ''
+    kept = (
+        f"COALESCE({ljoin}({lsort}({lfilter}({split}({q}, '&'), "
+        "x -> x <> '' AND substring(x, 1, 4) <> 'utm_' "
+        "AND substring(x, 1, 7) <> 'fbclid=' "
+        "AND substring(x, 1, 6) <> 'gclid=')), '&'), '')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level keep-first dedup + per-host collapse census.
+
+    Scale shape: raw/canonical URLs are pure-map columns (zero UDF,
+    zero shuffle); then the two-stage distinct discipline — lvl1
+    groupBy (host, canonical, raw) -> lvl2 (host, canonical) -> lvl3
+    host — every stage map-side combinable, no windows, no joins; a
+    hot canonical URL (the boilerplate-link analog) partial-aggregates
+    before its shuffle. Output is bounded by the host key space.
+    sum_keep_ids pins the keep-first rule (MIN doc_id per canonical)
+    in the external hash."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(derived_url_sql("doc_id")).alias("raw_url")
+    )
+    d = d.select(
+        "doc_id",
+        "raw_url",
+        F.expr(canonical_url_sql("raw_url", _URL_LIST_FNS_SPARK)).alias("canonical"),
+    )
+    host = F.regexp_extract("canonical", "^https?://([^/?#]+)", 1)
+    lvl1 = d.groupBy(host.alias("host"), "canonical", "raw_url").agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("m")
+    )
+    lvl2 = lvl1.groupBy("host", "canonical").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_raw"),
+        F.min("m").alias("keep_id"),
+    )
+    return lvl2.groupBy("host").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_raw").cast("long").alias("n_raw_urls"),
+        F.count("*").cast("long").alias("n_canonical_urls"),
+        (F.sum("n_docs") - F.count("*")).cast("long").alias("dup_docs"),
+        F.expr("(10000 * (sum(n_raw) - count(*))) DIV sum(n_raw)")
+        .cast("long")
+        .alias("collapsed_bp"),
+        F.sum("keep_id").cast("long").alias("sum_keep_ids"),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    canon = canonical_url_sql("raw_url", _URL_LIST_FNS_DUCK)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {derived_url_sql("doc_id")} AS raw_url FROM documents),
+c AS (
+  SELECT doc_id, raw_url, {canon} AS canonical FROM d),
+lvl1 AS (
+  SELECT regexp_extract(canonical, '^https?://([^/?#]+)', 1) AS host,
+         canonical, raw_url, COUNT(*) AS cc, MIN(doc_id) AS m
+  FROM c GROUP BY 1, 2, 3),
+lvl2 AS (
+  SELECT host, canonical, SUM(cc) AS n_docs, COUNT(*) AS n_raw, MIN(m) AS keep_id
+  FROM lvl1 GROUP BY host, canonical)
+SELECT host,
+       SUM(n_docs)::BIGINT AS n_docs,
+       SUM(n_raw)::BIGINT AS n_raw_urls,
+       COUNT(*)::BIGINT AS n_canonical_urls,
+       (SUM(n_docs) - COUNT(*))::BIGINT AS dup_docs,
+       ((10000 * (SUM(n_raw) - COUNT(*))) // SUM(n_raw))::BIGINT AS collapsed_bp,
+       SUM(keep_id)::BIGINT AS sum_keep_ids
+FROM lvl2 GROUP BY host
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -2566,5 +2729,10 @@ QUERIES = {
         _q_training_corpus_export,
         _training_corpus_export_oracle(),
         "composed export: funnel-kept, leakage-safe-train documents as overlapping chunks",
+    ),
+    "url_dedup": QueryDef(
+        _q_url_dedup,
+        _url_dedup_oracle(),
+        "URL canonicalization + keep-first dedup: per-host collapse census (pre-content tier)",
     ),
 }

@@ -982,3 +982,85 @@ def test_containment_relation_classes(spark, tmp_path, monkeypatch):
     assert out[(0, 2)]["relation"] == "dup"
     # quote vs near_dup: quote region survives the tail edit -> b_in_a
     assert out[(1, 2)]["relation"] == "dup" or out[(1, 2)]["id_a"] == 1
+
+
+def test_url_canonical_equivalences_both_engines(spark):
+    """The param-ordering / case-folding / default-port / trailing-slash
+    / tracking-param equivalence classes, pinned through the SAME
+    canonicalization template the gated url_dedup query ships — on
+    BOTH engines, plus cross-engine equality of the template itself."""
+    import duckdb
+
+    from ocr_lib_spark.plans.curation import (
+        _URL_LIST_FNS_DUCK,
+        _URL_LIST_FNS_SPARK,
+        canonical_url_sql,
+    )
+
+    equal_pairs = [
+        # host/scheme case + default https port + trailing slash +
+        # param order + utm tracking, all at once
+        ("https://EXAMPLE.com/a?b=2&a=1",
+         "HTTPS://example.COM:443/a/?a=1&utm_source=x&b=2"),
+        # http default port + fbclid
+        ("http://H.io:80/?id=1", "http://h.io/?fbclid=zz&id=1"),
+        # an all-tracking query drops entirely; bare host -> '/'
+        ("https://x.io/?utm_campaign=c&gclid=g", "https://x.io"),
+    ]
+    diff_pairs = [
+        ("https://x.io/p?id=1", "https://x.io/p?id=2"),  # real param differs
+        ("https://a.io/", "https://b.io/"),              # host differs
+        ("https://x.io/p", "https://x.io/q"),            # path differs
+    ]
+    urls = sorted({u for p in equal_pairs + diff_pairs for u in p})
+    sdf = spark.createDataFrame([(u,) for u in urls], "raw_url string")
+    s_canon = {
+        r["raw_url"]: r["c"]
+        for r in sdf.select(
+            "raw_url",
+            F.expr(canonical_url_sql("raw_url", _URL_LIST_FNS_SPARK)).alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    d_canon = dict(
+        con.execute(
+            "SELECT raw_url, "
+            + canonical_url_sql("raw_url", _URL_LIST_FNS_DUCK)
+            + " AS c FROM (SELECT unnest(?) AS raw_url)",
+            [urls],
+        ).fetchall()
+    )
+    assert s_canon == d_canon  # the template is one cross-engine contract
+    for a, b in equal_pairs:
+        assert s_canon[a] == s_canon[b], (a, b, s_canon[a], s_canon[b])
+    for a, b in diff_pairs:
+        assert s_canon[a] != s_canon[b], (a, b, s_canon[a])
+
+
+def test_url_derived_frame_collapses_exactly_mod_150(spark):
+    """ids congruent mod URL_GROUP_MOD are the same page under
+    different raw spellings: raw URLs all distinct (the variant axes
+    fire), canonical URLs identical; ids differing mod 150 never
+    collide."""
+    from ocr_lib_spark.plans.curation import (
+        _URL_LIST_FNS_SPARK,
+        URL_GROUP_MOD,
+        canonical_url_sql,
+        derived_url_sql,
+    )
+
+    ids = [7 + k * URL_GROUP_MOD for k in range(4)] + [8, 83]
+    df = (
+        spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", F.expr(derived_url_sql("doc_id")).alias("raw_url"))
+        .select(
+            "doc_id",
+            "raw_url",
+            F.expr(canonical_url_sql("raw_url", _URL_LIST_FNS_SPARK)).alias("c"),
+        )
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    group = [rows[7 + k * URL_GROUP_MOD] for k in range(4)]
+    assert len({r["raw_url"] for r in group}) == 4   # every replica spelled differently
+    assert len({r["c"] for r in group}) == 1         # one canonical page
+    assert rows[8]["c"] != rows[7]["c"] and rows[83]["c"] != rows[7]["c"]
