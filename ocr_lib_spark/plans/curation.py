@@ -2614,6 +2614,197 @@ FROM lvl2 GROUP BY host
 """
 
 
+# --- linear quality-classifier scoring tier (VERDICT r7 item 6) --------------
+# A fastText-style (Joulin et al. 2016, public) hashed-bigram LINEAR
+# scorer: a small TAUGHT set of labeled documents trains per-bucket
+# integer log-odds weights; the weight table (<= QS_BUCKETS rows)
+# broadcasts and every corpus document gets a fixed-point logit and a
+# keep/drop decision. This is the corpus-scale analog of the
+# reference's taught-prototype classifier (`nauci-slova` bulk-load ->
+# broadcast -> nearest-prototype match, core_helper.clj:1833-1991 +
+# core.clj:957-997): labels live in DATA (a taught table), never in
+# code, and scoring is a broadcast join against the taught model.
+#
+# Teaching is derived in closed form (round-6 DERIVED-FIXTURE
+# convention): docs with doc_id % QS_TEACH_MOD == 0 are the labeled
+# seed; the bad class is the funnel's boilerplate class (doc_id %
+# FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES, text substituted with
+# FUNNEL_BOILER_TEXT), so the classifier must generalize: UNLABELED
+# boilerplate docs hash into exactly the bad-taught buckets and score
+# negative. Weights are integer log2 bits (length(bin(x))-1, the
+# round-6 cross-engine-exact idiom) of the Laplace-smoothed odds
+# (g+1)(TB+B) / (b+1)(TG+B); buckets unseen in teaching are neutral
+# (weight 0 via left join). Tokenization follows the unified \\s+
+# whitespace contract.
+
+#: hashed-bigram bucket count (weight table broadcasts at any corpus size)
+QS_BUCKETS = 1024
+#: taught (labeled) docs: doc_id % QS_TEACH_MOD == 0
+QS_TEACH_MOD = 5
+
+
+def _q_quality_score(spark, sf_dir):
+    """Per-doc quality logit + decision from the taught bigram model.
+
+    Scale shape: ONE documents scan -> (doc, bucket) counts (map-side
+    combinable, doc-keyed shuffle), lazily checkpointed because it
+    feeds BOTH the teaching aggregate and the scoring join (the
+    exchange-reuse convention). The taught model is a <= QS_BUCKETS-row
+    combinable aggregate over the seed subset that BROADCASTS back —
+    the skew-prone bigram-frequency join never materializes as a
+    shuffle; totals are a 1-row broadcast crossJoin. Zero windows,
+    zero UDFs; zero-bigram docs surface with zeros via the left join
+    from the doc scan and are never kept."""
+    B = QS_BUCKETS
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES,
+            F.lit(FUNNEL_BOILER_TEXT),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("txt"),
+    )
+    toks = F.filter(F.split(F.trim("txt"), r"\s+"), lambda x: x != "")
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, cast(size(t) as int) - 2), "
+        "i -> concat(t[i], ' ', t[i+1])) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    pd_counts = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long") % B).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    is_bad = (
+        (F.col("doc_id") % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES)
+        .cast("long")
+        .alias("is_bad")
+    )
+    occ = (
+        pd_counts.where(F.col("doc_id") % QS_TEACH_MOD == 0)
+        .select("b", "c", is_bad)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("c") * (1 - F.col("is_bad"))).cast("long").alias("g_c"),
+            F.sum(F.col("c") * F.col("is_bad")).cast("long").alias("b_c"),
+        )
+    )
+    tot = occ.agg(
+        F.sum("g_c").cast("long").alias("t_g"), F.sum("b_c").cast("long").alias("t_b")
+    )
+    # fully parenthesized DECIMAL(38,0) products (the DSIR precedent:
+    # DIV and * share precedence left-assoc in Spark SQL)
+    num = f"(CAST(g_c + 1 AS DECIMAL(38,0)) * (t_b + {B}))"
+    den = f"(CAST(b_c + 1 AS DECIMAL(38,0)) * (t_g + {B}))"
+    model = occ.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CASE WHEN {num} >= {den}"
+            f" THEN CAST(length(bin(CAST({num} DIV {den} AS BIGINT))) - 1 AS BIGINT)"
+            f" ELSE -CAST(length(bin(CAST({den} DIV {num} AS BIGINT))) - 1 AS BIGINT)"
+            " END"
+        ).alias("w"),
+    )
+    per = (
+        pd_counts.join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("long")
+            .alias("logit_bits"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logit_bits", F.lit(0)).cast("long").alias("logit_bits"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr(f"logit_bits * {_PPM} DIV n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score_ppm"),
+            F.when(
+                (F.coalesce("n_bigrams", F.lit(0)) > 0) & (F.col("logit_bits") >= 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pred_good"),
+            (F.col("doc_id") % QS_TEACH_MOD == 0).cast("long").alias("is_taught"),
+        )
+    )
+
+
+_O_QUALITY_SCORE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
+                THEN '{FUNNEL_BOILER_TEXT_SQL}'
+              ELSE COALESCE(text, '') END AS txt
+  FROM documents),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(txt), '\\s+'), x -> x <> '') AS t
+  FROM d),
+bg AS (
+  SELECT doc_id, t[k + 1] || ' ' || t[k + 2] AS g
+  FROM tk, LATERAL unnest(range(GREATEST(len(t) - 1, 0))) AS u(k)),
+pd AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {QS_BUCKETS} AS b,
+         COUNT(*)::BIGINT AS c
+  FROM bg GROUP BY 1, 2),
+occ AS (
+  SELECT b,
+         SUM(c * CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
+                      THEN 0 ELSE 1 END)::BIGINT AS g_c,
+         SUM(c * CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
+                      THEN 1 ELSE 0 END)::BIGINT AS b_c
+  FROM pd WHERE doc_id % {QS_TEACH_MOD} = 0 GROUP BY b),
+tot AS (SELECT SUM(g_c)::BIGINT AS t_g, SUM(b_c)::BIGINT AS t_b FROM occ),
+model AS (
+  SELECT b,
+    CASE WHEN (g_c + 1)::HUGEINT * (t_b + {QS_BUCKETS})
+           >= (b_c + 1)::HUGEINT * (t_g + {QS_BUCKETS})
+      THEN (length(bin(((g_c + 1)::HUGEINT * (t_b + {QS_BUCKETS})
+            // ((b_c + 1)::HUGEINT * (t_g + {QS_BUCKETS})))::BIGINT)) - 1)::BIGINT
+      ELSE -(length(bin(((b_c + 1)::HUGEINT * (t_g + {QS_BUCKETS})
+            // ((g_c + 1)::HUGEINT * (t_b + {QS_BUCKETS})))::BIGINT)) - 1)::BIGINT
+    END AS w
+  FROM occ, tot),
+per AS (
+  SELECT pd.doc_id, SUM(pd.c)::BIGINT AS n_bigrams,
+         SUM(pd.c * COALESCE(m.w, 0))::BIGINT AS logit_bits
+  FROM pd LEFT JOIN model m USING (b) GROUP BY pd.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(p.logit_bits, 0)::BIGINT AS logit_bits,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+            THEN (p.logit_bits * {_PPM} // p.n_bigrams)::BIGINT
+            ELSE 0 END AS score_ppm,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0 AND p.logit_bits >= 0
+            THEN 1 ELSE 0 END::BIGINT AS pred_good,
+       CASE WHEN d.doc_id % {QS_TEACH_MOD} = 0 THEN 1 ELSE 0 END::BIGINT AS is_taught
+FROM d LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "ngram_novelty": QueryDef(
         _q_ngram_novelty,
@@ -2734,5 +2925,10 @@ QUERIES = {
         _q_url_dedup,
         _url_dedup_oracle(),
         "URL canonicalization + keep-first dedup: per-host collapse census (pre-content tier)",
+    ),
+    "quality_score": QueryDef(
+        _q_quality_score,
+        _O_QUALITY_SCORE,
+        "taught hashed-bigram linear quality scorer: broadcast weight table, integer logits",
     ),
 }

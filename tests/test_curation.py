@@ -1064,3 +1064,35 @@ def test_url_derived_frame_collapses_exactly_mod_150(spark):
     assert len({r["raw_url"] for r in group}) == 4   # every replica spelled differently
     assert len({r["c"] for r in group}) == 1         # one canonical page
     assert rows[8]["c"] != rows[7]["c"] and rows[83]["c"] != rows[7]["c"]
+
+
+def test_quality_score_generalizes_beyond_taught_labels(spark):
+    """The taught model must classify UNLABELED boilerplate (bad-class
+    docs outside the seed set) as bad — their bigrams hash into exactly
+    the bad-taught buckets — while ordinary docs score non-negative;
+    zero-bigram docs are never kept."""
+    from ocr_lib_spark.plans.curation import (
+        FUNNEL_BOILER_MOD,
+        FUNNEL_BOILER_RES,
+        QS_TEACH_MOD,
+        _q_quality_score,
+    )
+
+    rows = {r["doc_id"]: r for r in _q_quality_score(spark, SF).collect()}
+    boiler_unlabeled = [
+        r
+        for i, r in rows.items()
+        if i % FUNNEL_BOILER_MOD == FUNNEL_BOILER_RES and i % QS_TEACH_MOD != 0
+    ]
+    assert boiler_unlabeled, "fixture must contain unlabeled boilerplate"
+    assert all(r["pred_good"] == 0 for r in boiler_unlabeled)
+    assert all(r["score_ppm"] < 0 for r in boiler_unlabeled)
+    normal = [
+        r
+        for i, r in rows.items()
+        if i % FUNNEL_BOILER_MOD != FUNNEL_BOILER_RES and r["n_bigrams"] > 0
+    ]
+    good = sum(r["pred_good"] for r in normal)
+    # hash collisions into bad buckets may cost a few docs, not many
+    assert good >= 0.9 * len(normal), (good, len(normal))
+    assert all(r["pred_good"] == 0 for r in rows.values() if r["n_bigrams"] == 0)
