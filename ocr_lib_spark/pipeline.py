@@ -22,6 +22,8 @@ merge machinery core.clj:1392-1458 disappears — SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,11 +114,19 @@ def extract_turns(
             repartition = True
         else:
             repartition = False
-            if n_src > 4 * p:
-                # 4 waves of tasks: coarse enough to amortize per-task
-                # cost, fine enough that one straggler task can't add a
-                # full-wave tail (2*p showed bimodal wall times)
-                src = src.coalesce(4 * p)
+            waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "8"))
+            if n_src > 2 * waves * p:
+                # Coalesce only ABOVE twice the wave target: coalescing
+                # from the (waves*p, 2*waves*p] band gives merged
+                # partitions of 1 OR 2 source splits — a built-in 2x
+                # straggler (profiled, VERDICT r7 item 3); beyond it
+                # every merged partition holds >=2 splits and the worst
+                # skew is (k+1)/k. get_spark pre-sizes scans to
+                # waves*cores even splits (spark.sql.files
+                # .minPartitionNum), so sized scans run as-is on
+                # already-balanced splits and only genuinely
+                # over-split inputs (small-files layouts) coalesce.
+                src = src.coalesce(waves * p)
     if repartition:
         src = src.repartition(p, "conv_id", "turn_idx")
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
