@@ -2751,8 +2751,10 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
-_O_QUALITY_SCORE = f"""
-WITH d AS (
+# shared CTE chain (doc frame -> taught model -> per-doc logit); both
+# the quality_score oracle and the score_curriculum oracle compose it,
+# so the scorer's cross-engine contract is defined exactly once
+_QS_CTES = f"""d AS (
   SELECT doc_id,
          CASE WHEN doc_id % {FUNNEL_BOILER_MOD} = {FUNNEL_BOILER_RES}
                 THEN '{FUNNEL_BOILER_TEXT_SQL}'
@@ -2791,7 +2793,11 @@ model AS (
 per AS (
   SELECT pd.doc_id, SUM(pd.c)::BIGINT AS n_bigrams,
          SUM(pd.c * COALESCE(m.w, 0))::BIGINT AS logit_bits
-  FROM pd LEFT JOIN model m USING (b) GROUP BY pd.doc_id)
+  FROM pd LEFT JOIN model m USING (b) GROUP BY pd.doc_id)"""
+
+
+_O_QUALITY_SCORE = f"""
+WITH {_QS_CTES}
 SELECT d.doc_id,
        COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(p.logit_bits, 0)::BIGINT AS logit_bits,
@@ -2802,6 +2808,83 @@ SELECT d.doc_id,
             THEN 1 ELSE 0 END::BIGINT AS pred_good,
        CASE WHEN d.doc_id % {QS_TEACH_MOD} = 0 THEN 1 ELSE 0 END::BIGINT AS is_taught
 FROM d LEFT JOIN per p USING (doc_id)
+"""
+
+
+#: curriculum resolution: learned score quantized to millibits per
+#: bigram, so the histogram domain is bounded (|score_ppm| <= ~127e6
+#: by the bits range -> <= ~254k distinct quantized values REGARDLESS
+#: of corpus size) and the single-task cumulative walk stays
+#: bounded-by-construction, the same argument as quality_curriculum
+QS_CURR_QUANT = 1000
+
+
+def _q_score_curriculum(spark, sf_dir):
+    """Curriculum deciles keyed off the LEARNED quality score — the
+    composition VERDICT r7 item 6 asked for: quality_curriculum's
+    exact-order-statistic decile machinery consuming quality_score's
+    fixed-point logit instead of the derived lexical-diversity bits.
+
+    Scale shape: the scorer's shape (see _q_quality_score) + the
+    bounded-domain histogram walk (see _q_quality_curriculum); the
+    9 cuts collapse to one broadcast array row; bucketing is a pure
+    map. DIV truncation toward zero is identical in both engines."""
+    d = (
+        _q_quality_score(spark, sf_dir)
+        .select("doc_id", F.expr(f"score_ppm DIV {QS_CURR_QUANT}").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    hist = d.groupBy("s").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "s", F.sum("c").over(Window.orderBy("s")).alias("cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    ranks = spark.sql(f"SELECT explode(sequence(1, {_N_BUCKETS - 1})) AS k")
+    cuts = (
+        cum.crossJoin(F.broadcast(ranks))
+        .where(F.col("cum") >= F.expr(f"(n - 1) * k DIV {_N_BUCKETS} + 1"))
+        .groupBy("k")
+        .agg(F.min("s").alias("cut"))
+        .agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    )
+    bucketed = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "s",
+        F.expr("size(filter(cuts, c -> c <= s))").cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("s").cast("long").alias("min_score_mb"),
+        F.max("s").cast("long").alias("max_score_mb"),
+    )
+
+
+_O_SCORE_CURRICULUM = f"""
+WITH {_QS_CTES},
+sc AS (
+  SELECT d.doc_id,
+         (CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+               THEN (p.logit_bits * {_PPM} // p.n_bigrams)
+               ELSE 0 END // {QS_CURR_QUANT})::BIGINT AS s
+  FROM d LEFT JOIN per p USING (doc_id)),
+hist AS (SELECT s, COUNT(*) AS c FROM sc GROUP BY s),
+cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s) AS cum, SUM(c) OVER () AS n
+  FROM hist),
+cuts AS (
+  SELECT k, MIN(s) AS cut
+  FROM cum CROSS JOIN range(1, {_N_BUCKETS}) AS r(k)
+  WHERE cum >= (n - 1) * k // {_N_BUCKETS} + 1
+  GROUP BY k),
+bucketed AS (
+  SELECT doc_id, s,
+         (SELECT COUNT(*) FROM cuts WHERE cut <= sc.s)::INT AS bucket
+  FROM sc)
+SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+       MIN(s)::BIGINT AS min_score_mb,
+       MAX(s)::BIGINT AS max_score_mb
+FROM bucketed GROUP BY bucket
 """
 
 
@@ -2930,5 +3013,10 @@ QUERIES = {
         _q_quality_score,
         _O_QUALITY_SCORE,
         "taught hashed-bigram linear quality scorer: broadcast weight table, integer logits",
+    ),
+    "score_curriculum": QueryDef(
+        _q_score_curriculum,
+        _O_SCORE_CURRICULUM,
+        "curriculum deciles keyed off the LEARNED quality score (composition of the two tiers)",
     ),
 }
