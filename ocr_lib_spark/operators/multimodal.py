@@ -26,8 +26,11 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ocr_lib_spark.partitioning import spread_small
 
 
 def _try_pil():
@@ -702,7 +705,7 @@ def synth_container_payloads(
                     payloads.append(("" if text is None else str(text)).encode("utf-8"))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    return spread_small(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
 
 
 DECODE_SCHEMA = T.StructType(
@@ -775,7 +778,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODE_SCHEMA)
+    return spread_small(df.select(id_col, payload_col)).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 HIST_SCHEMA = T.StructType(
@@ -817,7 +820,7 @@ def byte_histogram(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=HIST_SCHEMA)
+    return spread_small(df.select(id_col, payload_col)).mapInPandas(run, schema=HIST_SCHEMA)
 
 
 THUMB_SCHEMA = T.StructType(
@@ -919,7 +922,7 @@ def byte_thumbnail(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=THUMB_SCHEMA)
+    return spread_small(df.select(id_col, payload_col)).mapInPandas(run, schema=THUMB_SCHEMA)
 
 
 def frame_sample(

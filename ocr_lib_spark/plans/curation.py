@@ -518,7 +518,6 @@ def _q_incremental_dedup(spark, sf_dir):
     (min), −1 for novel. The near tier still reports n_near_matches for
     exact dups — an exact mirror usually also near-matches its
     neighborhood, and the census is the dashboard number."""
-    from ocr_lib_spark.functions.text import char_shingles
     from ocr_lib_spark.operators.dedup import lsh_band_table, minhash_signatures
     from ocr_lib_spark.plans.textops import (
         N_HASHES,
@@ -570,21 +569,30 @@ def _q_incremental_dedup(spark, sf_dir):
         .select("new_id", "old_id")
         .distinct()
     )
-    sh = d.select("doc_id", char_shingles("text", k=SHINGLE_K).alias("s"))
+    # verification via the vectorized Arrow shingle kernel over the
+    # NARROW texts (operators/shingling.py) — the char_shingles +
+    # array_intersect/array_union Catalyst form this replaces joined
+    # pre-shingled fat arrays (~200x the bytes through the candidate
+    # join) and measured ~4x slower on this shape; |∩|/|∪| and the
+    # >= τ verdicts are identical
+    from ocr_lib_spark.operators.shingling import set_counts_udf
+    from ocr_lib_spark.partitioning import spread_small
+
+    set_counts = set_counts_udf(SHINGLE_K)
+    tx = d.select("doc_id", "text")
     ver = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("new_id"), F.col("s").alias("sa")),
-            "new_id",
+        spread_small(
+            cand.join(
+                tx.select(F.col("doc_id").alias("new_id"), F.col("text").alias("ta")),
+                "new_id",
+            ).join(
+                tx.select(F.col("doc_id").alias("old_id"), F.col("text").alias("tb")),
+                "old_id",
+            ),
+            probe=d,
         )
-        .join(
-            sh.select(F.col("doc_id").alias("old_id"), F.col("s").alias("sb")),
-            "old_id",
-        )
-        .withColumn(
-            "jac",
-            F.size(F.array_intersect("sa", "sb"))
-            / F.size(F.array_union("sa", "sb")),
-        )
+        .select("new_id", "old_id", set_counts("ta", "tb").alias("c"))
+        .withColumn("jac", F.col("c.n_inter") / F.col("c.n_union"))
         .where(F.col("jac") >= NEAR_DUP_JACCARD_T)
         .groupBy("new_id")
         .agg(

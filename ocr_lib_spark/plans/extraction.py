@@ -568,6 +568,7 @@ def _q_conv_near_dup(spark, sf_dir):
             F.translate("conv_text", "\n", " ").alias("text"),
         ),
         n_bits=SIMHASH_BITS,
+        spread=False,  # ~N_CONVS rows: spread overhead > kernel cost
     )
     return simhash_near_dup_pairs(
         fp,
@@ -863,6 +864,7 @@ def _q_conv_training_mix(spark, sf_dir):
             F.translate("conv_text", "\n", " ").alias("text"),
         ),
         n_bits=SIMHASH_BITS,
+        spread=False,  # ~N_CONVS rows: spread overhead > kernel cost
     )
     pairs = simhash_near_dup_pairs(
         fp,

@@ -24,6 +24,7 @@ from ocr_lib_spark.operators.dedup import (
     simhash64,
 )
 from ocr_lib_spark.plans import QueryDef, load
+from ocr_lib_spark.partitioning import spread_small
 
 N_HASHES = 8
 BAND_ROWS = 2
@@ -875,29 +876,17 @@ def _adjacent_jaccard(spark, sf_dir):
     def set_counts(ta, tb):
         import pandas as pd
 
-        k = SHINGLE_K
-        cache: dict = {}  # pairs share texts (near-dup clusters / the
-        # adjacent chain) — build each text's shingle set once per batch
+        from ocr_lib_spark.operators.shingling import batch_pair_set_counts
 
-        def sh(t):
-            if not isinstance(t, str):
-                t = ""
-            s = cache.get(t)
-            if s is None:
-                s = (
-                    {t[i : i + k] for i in range(len(t) - k + 1)}
-                    if len(t) > k - 1
-                    else {t[:k]}
-                )
-                cache[t] = s
-            return s
-
-        ni, nu = [], []
-        for x, y in zip(ta.astype(object), tb.astype(object)):
-            sx, sy = sh(x), sh(y)
-            ni.append(len(sx & sy))
-            nu.append(len(sx | sy))
-        return pd.DataFrame({"n_inter": ni, "n_union": nu})
+        # vectorized packed-window shingle sets (operators/shingling.py):
+        # each unique text's sorted id array is built once per batch,
+        # |∩| via np.intersect1d — exact, ~3x the Python-set loop
+        ni, na, nb = batch_pair_set_counts(
+            ta.astype(object), tb.astype(object), SHINGLE_K
+        )
+        return pd.DataFrame(
+            {"n_inter": ni, "n_union": [a + b - i for a, b, i in zip(na, nb, ni)]}
+        )
 
     d = _docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
@@ -1196,7 +1185,7 @@ def _token_fingerprints(spark, sf_dir):
         return rolling_hashes_pandas(texts, k=8)
 
     return (
-        _docs(spark, sf_dir)
+        spread_small(_docs(spark, sf_dir))
         .select(
             "doc_id",
             token_count("text").alias("ws_tokens"),
@@ -1279,34 +1268,34 @@ def _near_dup_verified(spark, sf_dir):
     def set_counts(ta, tb):
         import pandas as pd
 
-        k = SHINGLE_K
-        cache: dict = {}  # pairs share texts (near-dup clusters / the
-        # adjacent chain) — build each text's shingle set once per batch
+        from ocr_lib_spark.operators.shingling import batch_pair_set_counts
 
-        def sh(t):
-            if not isinstance(t, str):
-                t = ""
-            s = cache.get(t)
-            if s is None:
-                s = (
-                    {t[i : i + k] for i in range(len(t) - k + 1)}
-                    if len(t) > k - 1
-                    else {t[:k]}
-                )
-                cache[t] = s
-            return s
+        # vectorized packed-window shingle sets (operators/shingling.py):
+        # each unique text's sorted id array is built once per batch,
+        # |∩| via np.intersect1d — exact, ~3x the Python-set loop
+        ni, na, nb = batch_pair_set_counts(
+            ta.astype(object), tb.astype(object), SHINGLE_K
+        )
+        return pd.DataFrame(
+            {"n_inter": ni, "n_union": [a + b - i for a, b, i in zip(na, nb, ni)]}
+        )
 
-        ni, nu = [], []
-        for x, y in zip(ta.astype(object), tb.astype(object)):
-            sx, sy = sh(x), sh(y)
-            ni.append(len(sx & sy))
-            nu.append(len(sx | sy))
-        return pd.DataFrame({"n_inter": ni, "n_union": nu})
+    # nondeterministic stops the optimizer pushing the jaccard filter
+    # BELOW the projection and re-evaluating the kernel on both sides
+    # (guide-class duplication: two ArrowEvalPython nodes, each
+    # shingling every candidate pair — measured as a duplicated
+    # 380 ms single-task stage). The kernel is pure; results identical.
+    set_counts = set_counts.asNondeterministic()
 
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    # spread the verify kernel's input when the corpus is small: AQE
+    # coalesces the candidate join's shuffle read by BYTES, feeding the
+    # CPU-dense shingle kernel 1-2 tasks (measured 386 ms on 2 tasks at
+    # local[32]). probe=d — join-output size estimates are
+    # multiplicative garbage; the base table's is honest.
     return (
-        cand.join(a, "id_a").join(b, "id_b")
+        spread_small(cand.join(a, "id_a").join(b, "id_b"), probe=d)
         .select("id_a", "id_b", set_counts("ta", "tb").alias("c"))
         .withColumn("jaccard", F.col("c.n_inter") / F.col("c.n_union"))
         .where(F.col("jaccard") >= NEAR_DUP_JACCARD_T)
@@ -1413,35 +1402,22 @@ def _containment_dedup(spark, sf_dir):
     def set_counts3(ta, tb):
         import pandas as pd
 
-        k = SHINGLE_K
-        cache: dict = {}
+        from ocr_lib_spark.operators.shingling import batch_pair_set_counts
 
-        def sh(t):
-            if not isinstance(t, str):
-                t = ""
-            s = cache.get(t)
-            if s is None:
-                s = (
-                    {t[i : i + k] for i in range(len(t) - k + 1)}
-                    if len(t) > k - 1
-                    else {t[:k]}
-                )
-                cache[t] = s
-            return s
-
-        ni, na, nb = [], [], []
-        for x, y in zip(ta.astype(object), tb.astype(object)):
-            sx, sy = sh(x), sh(y)
-            ni.append(len(sx & sy))
-            na.append(len(sx))
-            nb.append(len(sy))
+        # see set_counts in _adjacent_jaccard: vectorized exact kernel
+        ni, na, nb = batch_pair_set_counts(
+            ta.astype(object), tb.astype(object), SHINGLE_K
+        )
         return pd.DataFrame({"n_inter": ni, "n_a": na, "n_b": nb})
+
+    # see _near_dup_verified: single kernel evaluation
+    set_counts3 = set_counts3.asNondeterministic()
 
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
     scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        # see _near_dup_verified: spread the CPU-dense verify kernel
+        spread_small(cand.join(a, "id_a").join(b, "id_b"), probe=d)
         .select("id_a", "id_b", set_counts3("ta", "tb").alias("c"))
         .select(
             "id_a",
@@ -1597,7 +1573,7 @@ def _token_fingerprints_unicode(spark, sf_dir):
         return rolling_hashes_pandas(texts, k=8)
 
     return (
-        _udocs(spark, sf_dir)
+        spread_small(_udocs(spark, sf_dir))
         .select(
             "doc_id",
             token_count("text").alias("ws_tokens"),

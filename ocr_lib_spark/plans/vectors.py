@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+
+
 from ocr_lib_spark.operators.dedup import _sign_bucket
 from ocr_lib_spark.operators.similarity import brute_force_topk, knn_label_vote
 from ocr_lib_spark.plans import QueryDef, load

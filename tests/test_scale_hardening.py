@@ -766,3 +766,92 @@ def test_substring_scrub_partition_invariance(spark):
     base = run(t.repartition(1))
     assert run(t.repartition(16)) == base
     assert run(t.repartition(7, "doc_id")) == base
+
+
+def test_vectorized_shingling_exact_vs_python_sets():
+    """operators/shingling.py (round 9): the packed-window numpy
+    shingle kernels must be bit-identical to the Python-set reference
+    on every edge class — empty, shorter-than-k, exactly-k, non-ASCII
+    (multi-byte chars must NOT take the byte-window path), control
+    chars, and texts shared across pairs."""
+    import numpy as np
+
+    from ocr_lib_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_C,
+        MINHASH_P,
+        _M30,
+        _md5_prefix60,
+    )
+    from ocr_lib_spark.operators.shingling import (
+        batch_minhash,
+        batch_pair_set_counts,
+    )
+
+    k = 5
+    A = np.array(MINHASH_A, dtype=np.int64)
+    B = np.array(MINHASH_B, dtype=np.int64)
+    C = np.array(MINHASH_C, dtype=np.int64)
+    texts = [
+        "",
+        "ab",
+        "abcd",
+        "abcde",
+        "abcdef",
+        "hello world hello world hello",
+        "héllo wörld ünïcode",   # non-ASCII: falls back, same md5 strings
+        "mixed ascii then é at the end",
+        "tabs\tand\nnewlines\r\nhere",
+        "x" * 200,
+        "the quick brown fox jumps over the lazy dog",
+    ]
+
+    def ref_sets(t):
+        return (
+            {t[i : i + k] for i in range(len(t) - k + 1)}
+            if len(t) > k - 1
+            else {t[:k]}
+        )
+
+    def ref_minhash(t):
+        xs = np.array([_md5_prefix60(s) for s in ref_sets(t)], dtype=np.int64)
+        h = (
+            A[None, :] * (xs[:, None] & _M30)
+            + B[None, :] * (xs[:, None] >> 30)
+            + C[None, :]
+        ) % MINHASH_P
+        return h.min(axis=0)
+
+    got = batch_minhash(texts, A, B, C, k, MINHASH_P, _M30)
+    for i, t in enumerate(texts):
+        assert np.array_equal(got[i], ref_minhash(t)), t
+
+    ta, tb = texts, list(reversed(texts))
+    ni, na, nb = batch_pair_set_counts(ta, tb, k)
+    for i, (x, y) in enumerate(zip(ta, tb)):
+        sx, sy = ref_sets(x), ref_sets(y)
+        assert ni[i] == len(sx & sy), (x, y)
+        assert na[i] == len(sx) and nb[i] == len(sy), (x, y)
+
+
+def test_spread_small_is_scale_adaptive(spark):
+    """partitioning.spread_small (round 9): fans a small input out to
+    the capped target, leaves a frame with a large size estimate
+    untouched (the 100 TB no-op contract), and never changes rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_lib_spark import partitioning
+    from ocr_lib_spark.partitioning import spread_small
+
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("text")
+    )
+    small = spread_small(df)
+    cap = min(spark.sparkContext.defaultParallelism, partitioning.SPREAD_MAX_PARTITIONS)
+    assert small.rdd.getNumPartitions() == cap
+    assert sorted(r.id for r in small.collect()) == list(range(1000))
+
+    # big estimate (join-inflated, like a candidate self-join) -> unchanged
+    big = df.alias("a").crossJoin(df.alias("b").select(F.col("id").alias("id2")))
+    assert spread_small(big) is big
