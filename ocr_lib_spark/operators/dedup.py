@@ -534,8 +534,9 @@ def near_dup_clusters(
     driver loop is over ROUNDS, and per-round state is truncated with
     an eager localCheckpoint so plan lineage stays flat (use a reliable
     checkpoint dir on a real cluster). Convergence is detected by
-    counting CHANGED labels (new vs previous round, one equi-join on
-    the id key + count) — overflow-free at any id magnitude, unlike a
+    counting CHANGED labels (each id's previous label rides the merge
+    aggregation as a carried column, so the comparison needs no extra
+    join) — overflow-free at any id magnitude, unlike a
     SUM(label) fixpoint which can exceed int64 at 10^9+ docs with
     large ids (failing under ANSI mode or wrapping silently).
 
@@ -548,8 +549,11 @@ def near_dup_clusters(
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)  # upstream (e.g. the whole LSH+verify
-        # pipeline) runs ONCE, not once per round
+        # lazy: the first round's convergence count is the action that
+        # materializes it (one job instead of a dedicated eager one);
+        # localCheckpoint still guarantees the upstream (e.g. the whole
+        # LSH+verify pipeline) runs ONCE, not once per round
+        .localCheckpoint(eager=False)
     )
     # seed labels with min(id, min neighbor) — the first propagation
     # round comes free with the seeding scan
@@ -559,32 +563,42 @@ def near_dup_clusters(
         .select(F.col("s").alias("id"), "lbl")
         .localCheckpoint(eager=False)
     )
+    lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_rounds):
         prop = edges.join(labels.withColumnRenamed("id", "s"), "s").select(
             F.col("d").alias("id"), "lbl"
         )
-        merged = labels.union(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        # carry each id's previous label THROUGH the merge aggregation
+        # (prev is non-null on exactly the one labels-row per id — every
+        # prop id is an edge destination, hence also a seeded source —
+        # so max(prev) recovers it) instead of re-joining labels after
+        # the pointer jump: one shuffle join fewer per round, identical
+        # convergence test (post-jump label vs previous round's label).
+        tagged = labels.select("id", "lbl", F.col("lbl").alias("prev")).unionByName(
+            prop.select("id", "lbl", F.lit(None).cast(lbl_type).alias("prev"))
+        )
+        merged = tagged.groupBy("id").agg(
+            F.min("lbl").alias("lbl"), F.max("prev").alias("prev_lbl")
+        )
         # pointer jump: adopt the label of your label (labels are ids)
         lab2 = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
         new_labels = (
             merged.join(lab2, "lbl", "left")
-            .select("id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"),
+                "prev_lbl",
+            )
             # lazy: the convergence count below is the action that
             # materializes the checkpoint — one job per round, not two
             .localCheckpoint(eager=False)
         )
         # changed-label count: labels only ever decrease, so zero
-        # changed rows == fixpoint; join keys on id (same hash
-        # partitioning as every other per-round join) and the count is
-        # map-side combinable. Overflow-free vs a SUM(lbl) probe.
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("lbl").alias("prev_lbl")), "id"
-            )
-            .where(F.col("lbl") != F.col("prev_lbl"))
-            .count()
-        )
-        labels = new_labels
+        # changed rows == fixpoint; the count is map-side combinable
+        # over the already-materialized checkpoint blocks.
+        # Overflow-free vs a SUM(lbl) probe.
+        changed = new_labels.where(F.col("lbl") != F.col("prev_lbl")).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
     else:

@@ -880,6 +880,16 @@ def substring_scrub_frame(t, K: int = SCRUB_K):
     _q_substring_scrub. Split out so degenerate inputs (within-doc
     overlapping self-repeats, fully-covered docs, short/empty text)
     are unit-testable off-fixture."""
+    from ocr_lib_spark.partitioning import spread_small
+
+    # the K-gram stage below md5-hashes ~(tokens - K) sliding windows
+    # per doc — CPU-dense relative to input bytes, so a small corpus
+    # packed into 1-2 scan splits runs it nearly serially (measured
+    # 1.11 s on ONE task at local[32] in the r9 battery profile).
+    # spread_small round-robins ONLY under-split small inputs
+    # (scale-inert; results partition-invariant — every downstream
+    # consumer keys on doc_id/h)
+    t = spread_small(t)
     t = t.localCheckpoint(eager=False)
     # sliding K-gram hashes; pos is the 0-based token offset
     g = (
@@ -1906,11 +1916,14 @@ BPE_GREEDY_EXPR = (
 def _bpe_pair_argmax(t_df):
     """Corpus-wide most-frequent adjacent pair over a (doc_id, t)
     token-array frame, as a ONE-ROW broadcastable frame (pair_a,
-    pair_b, pair_count). The argmax is three chained scalar aggregates
-    (max count -> min first token -> min second token) so the global
-    top-1 never sorts the census; an empty census yields one all-NULL
-    row (groupBy-less agg), which downstream match filters treat as
-    zero matches on both engines."""
+    pair_b, pair_count). The argmax is two chained scalar aggregates
+    (max count -> lexicographic min(struct(a, b)) among the maximal
+    rows; min-of-struct == min a, then min b within that a — the same
+    pinned tie-break the previous three-aggregate chain produced, one
+    broadcast exchange and one census scan cheaper per merge round) so
+    the global top-1 never sorts the census; an empty census yields one
+    all-NULL row (groupBy-less agg), which downstream match filters
+    treat as zero matches on both engines."""
     pairs = t_df.select(
         F.explode(
             F.expr(
@@ -1922,20 +1935,16 @@ def _bpe_pair_argmax(t_df):
         ).alias("p")
     ).select("p.a", "p.b")
     census = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
-    census = census.localCheckpoint(eager=False)  # three argmax consumers
+    census = census.localCheckpoint(eager=False)  # two argmax consumers
     cmax = census.agg(F.max("c").alias("c_max"))
-    amin = (
+    return (
         census.crossJoin(F.broadcast(cmax))
         .where(F.col("c") == F.col("c_max"))
-        .agg(F.min("a").alias("a_min"), F.max("c").alias("c_max"))
-    )
-    return (
-        census.crossJoin(F.broadcast(amin))
-        .where((F.col("c") == F.col("c_max")) & (F.col("a") == F.col("a_min")))
-        .agg(
-            F.min("b").alias("pair_b"),
-            F.max("a").alias("pair_a"),
-            F.max("c").alias("pair_count"),
+        .agg(F.min(F.struct("a", "b")).alias("ab"), F.max("c").alias("pair_count"))
+        .select(
+            F.col("ab.a").alias("pair_a"),
+            F.col("ab.b").alias("pair_b"),
+            "pair_count",
         )
     )
 

@@ -1287,8 +1287,13 @@ def _q_conv_decontaminate(spark, sf_dir):
     from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K
 
     tr = transcripts_from_documents(spark, sf_dir)
-    conv = _assemble_small(extract_turns(tr)).select(
-        "conv_id", F.expr("replace(conv_text, chr(10), ' ')").alias("text")
+    conv = (
+        _assemble_small(extract_turns(tr))
+        .select("conv_id", F.expr("replace(conv_text, chr(10), ' ')").alias("text"))
+        # the holdout branch and the probe branch both derive from this
+        # frame; without a checkpoint the extract+assemble kernel runs
+        # once PER BRANCH (the broadcast subtree gets no exchange reuse)
+        .localCheckpoint(eager=False)
     )
     toks = F.split(F.trim("text"), " ")
     grams = F.expr(

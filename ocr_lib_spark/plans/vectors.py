@@ -214,6 +214,81 @@ def _assign_centroids_arrow(e, cent_rows):
     return e.select("vec_id", "v").mapInPandas(run, schema=schema)
 
 
+def _lloyd_partial_stats_arrow(e, cent_rows):
+    """One Lloyd step's sufficient statistics as MAP-SIDE PARTIALS: the
+    same nearest-centroid Arrow assignment as ``_assign_centroids_arrow``
+    (identical pinned fold order, identical argmax tie-break), fused
+    with the per-(centroid, dim) integer-scaled sums INSIDE the kernel.
+    Each task emits at most k x dim partial rows instead of n x dim
+    posexploded element rows — the shuffle feeding the stats groupBy
+    shrinks from corpus-size to (tasks x codebook)-size. Bit-identical
+    by construction: elements enter fixed point as floor(v * 1e6)
+    BEFORE summation (the TRAIN_SCALE contract), and int64 addition is
+    associative, so partial-then-final sums equal the flat sum."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    k, dim = C.shape
+    cn_sq = np.zeros(k)
+    for d in range(dim):  # sequential order == the aggregate fold
+        cn_sq = cn_sq + C[:, d] * C[:, d]
+    cnorm = np.sqrt(cn_sq)
+
+    def run(batches):
+        sums = np.zeros((k, dim), dtype=np.int64)
+        ns = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["v"].tolist()
+            bad = [
+                i
+                for i, r in enumerate(rows)
+                if r is None or len(r) != dim or any(x is None for x in r)
+            ]
+            if bad:
+                raise ValueError(
+                    f"null/ragged embedding vectors at batch rows {bad[:5]} "
+                    f"(expected non-null dim={dim}); clean upstream"
+                )
+            V = np.array(rows, dtype=np.float64)
+            S = np.zeros((len(V), k))
+            vn_sq = np.zeros(len(V))
+            for d in range(dim):
+                S = S + V[:, d, None] * C[None, :, d]
+                vn_sq = vn_sq + V[:, d] * V[:, d]
+            cos = S / (np.sqrt(vn_sq)[:, None] * cnorm[None, :])
+            best = np.argmax(cos, axis=1)
+            VI = np.floor(V * TRAIN_SCALE).astype(np.int64)
+            np.add.at(sums, best, VI)
+            np.add.at(ns, best, 1)
+        mask = ns > 0
+        if mask.any():
+            nm = int(mask.sum())
+            yield pd.DataFrame(
+                {
+                    "centroid_id": np.repeat(cids[mask], dim),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), nm),
+                    "sum_scaled": sums[mask].ravel(),
+                    "n": np.repeat(ns[mask], dim),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("sum_scaled", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+
+
 def _codebook_values_df(spark, cent_rows):
     """Driver-side codebook -> LocalRelation (SQL VALUES literal with
     array() + exact repr double literals — see relational._values_df for
@@ -377,34 +452,18 @@ TRAIN_SCALE = 1_000_000
 
 
 def _ivf_train_step(spark, sf_dir):
+    """One distributed Lloyd step off the seed-rule codebook, via the
+    fused Arrow assignment+partial-stats kernel (see ``_lloyd_stats``).
+    The previous relational shape (crossJoin + max_by assignment, then
+    posexplode + groupBy over n x dim element rows) computes the same
+    values — the Arrow kernel's pinned fold order and (cos DESC, cid
+    ASC) argmax are the documented bit-identity contract with the
+    max_by(struct(acos, -cid)) twin — but shuffled the whole exploded
+    corpus where the kernel ships bounded codebook-sized partials."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = e.where(F.col("vec_id") % 64 == 1).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    # same pinned assignment semantics as ivf_topk's relational twin
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("acos", _cos(F.col("v"), F.col("cv")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "centroid_id",
-                F.struct(F.col("acos"), (-F.col("centroid_id")).alias("nid")),
-            ).alias("centroid_id"),
-            F.first("v").alias("v"),
-        )
-    )
-    return (
-        assign.select("centroid_id", F.posexplode("v").alias("dim", "val"))
-        .groupBy("centroid_id", F.col("dim").cast("int").alias("dim"))
-        .agg(
-            F.sum(F.floor(F.col("val") * TRAIN_SCALE).cast("long")).alias("sum_scaled"),
-            F.count("*").cast("long").alias("n"),
-        )
-        .select("centroid_id", "dim", "sum_scaled", "n")
-    )
+    return _lloyd_stats(e, _seed_codebook(e))
 
 
 _O_IVF_TRAIN = f"""
@@ -448,16 +507,18 @@ IVF_TRAIN_ITERS = 3
 
 
 def _lloyd_stats(e, cent_rows):
-    """One Lloyd step given a driver-side codebook: Arrow nearest-
-    centroid assignment, then integer-scaled per-(centroid, dim) mean
-    statistics (posexplode + map-side-combinable groupBy)."""
-    assign = _assign_centroids_arrow(e, cent_rows)
+    """One Lloyd step given a driver-side codebook: the fused Arrow
+    assignment+partial-stats kernel (``_lloyd_partial_stats_arrow``),
+    then one tiny groupBy over (tasks x k x dim) partial rows. The
+    previous shape (per-row assignment -> posexplode -> groupBy)
+    shuffled n x dim element rows; the fused kernel shuffles bounded
+    codebook-sized partials — same integer-exact sums."""
+    part = _lloyd_partial_stats_arrow(e, cent_rows)
     return (
-        assign.select("centroid_id", F.posexplode("v").alias("dim", "val"))
-        .groupBy("centroid_id", F.col("dim").cast("int").alias("dim"))
+        part.groupBy("centroid_id", "dim")
         .agg(
-            F.sum(F.floor(F.col("val") * TRAIN_SCALE).cast("long")).alias("sum_scaled"),
-            F.count("*").cast("long").alias("n"),
+            F.sum("sum_scaled").cast("long").alias("sum_scaled"),
+            F.sum("n").cast("long").alias("n"),
         )
         .select("centroid_id", "dim", "sum_scaled", "n")
     )
@@ -642,17 +703,79 @@ def _recall_variants():
 
 
 def _ivf_recall(spark, sf_dir):
+    """Recall table for the four (codebook, nprobe) variants. The two
+    nprobe settings of one codebook share the SAME nearest-centroid
+    assignment of the corpus and the SAME probe ranking (nprobe only
+    truncates the rank list), so each is computed once per codebook
+    (lazy localCheckpoint) instead of once per variant — the r9 profile
+    showed four full Arrow assignment passes where two suffice. Values
+    are identical by construction: the nprobe=2 candidate set is the
+    rn<=2 prefix of the shared rn<=4 ranking."""
+    from pyspark.sql import Window
+
+    from ocr_lib_spark.operators.similarity import _topk_two_phase
+
     e = _emb(spark, sf_dir)
     truth = (
         brute_force_topk(e, e.where(F.col("vec_id") < N_QUERIES), k=IVF_K)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    outs = []
-    for variant, trained, nprobe in _recall_variants():
-        got = _ivf_topk(spark, sf_dir, trained=trained, nprobe=nprobe).select(
-            "query_id", "neighbor_id"
+    ev = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = ev.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    variants = _recall_variants()
+    got_by_variant: dict = {}
+    for trained in (False, True):
+        nprobes = [np for _, tr, np in variants if tr == trained]
+        vname = next(v for v, tr, _ in variants if tr == trained)
+        if trained:
+            codebook = _trained_codebook_cached(spark, sf_dir, IVF_TRAIN_ITERS)
+            cent_rows = [(cid, list(vec)) for cid, vec in codebook]
+        else:
+            cent_plain = ev.where(F.col("vec_id") % 64 == 1).select(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            )
+            cent_rows = [
+                (r["centroid_id"], list(r["cv"])) for r in cent_plain.collect()
+            ]
+        # the literal codebook round-trips IEEE-754 (repr doubles), so
+        # joining against the VALUES frame is bit-identical to joining
+        # the scan-side centroid rows (_codebook_values_df contract)
+        cent = F.broadcast(_codebook_values_df(spark, cent_rows))
+        assign = _assign_centroids_arrow(ev, cent_rows).localCheckpoint(eager=False)
+        wp = Window.partitionBy("query_id").orderBy(
+            F.desc("pcos"), F.asc("centroid_id")
         )
+        probes_all = (
+            q.crossJoin(cent)
+            .withColumn("pcos", _cos(F.col("qv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= max(nprobes))
+            .select("query_id", "qv", "centroid_id", "rn")
+            .localCheckpoint(eager=False)
+        )
+        for nprobe in nprobes:
+            cand = (
+                probes_all.where(F.col("rn") <= nprobe)
+                .select("query_id", "qv", "centroid_id")
+                .join(assign, "centroid_id")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    _cos(F.col("qv"), F.col("v")).alias("cosine"),
+                )
+            )
+            got_by_variant[(vname, nprobe)] = _topk_two_phase(cand, IVF_K).select(
+                "query_id", "neighbor_id"
+            )
+    outs = []
+    for variant, trained, nprobe in variants:
+        got = got_by_variant[(variant, nprobe)]
         hit = truth.join(got, ["query_id", "neighbor_id"], "left_semi")
         floor_ppm = IVF_RECALL_FLOOR_PPM.get((variant, nprobe), 0)
         outs.append(

@@ -104,6 +104,21 @@ def get_spark(
             "spark.sql.files.minPartitionNum",
             str(int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "8")) * cores),
         )
+        # File-open cost charged per file when packing scan splits. The
+        # 4 MB default models remote-storage open latency; it also FLOORS
+        # the split size, so a small-but-CPU-dense scan (e.g. a 2.6 MB
+        # parquet of 150k rows feeding an explode+join stage) packs into
+        # ONE task while every other core idles — measured 399 ms
+        # single-task stages in the r9 battery profile. Local NVMe +
+        # page cache make the true open cost ~none; 256 KB lets
+        # minPartitionNum's bytesPerCore sizing actually split small
+        # inputs. Scale-inert: once bytesPerCore exceeds 256 KB (any
+        # real corpus), splits are sized by bytesPerCore/maxPartitionBytes
+        # exactly as before; on object storage keep the 4 MB default.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
