@@ -66,10 +66,16 @@ def brute_force_topk(
     """Exact top-k: broadcast(queries) × corpus, cosine, two-phase
     local-then-merge top-k (no task ever ranks the whole corpus).
     Deterministic rank tie-break by neighbor id ascending."""
+    from ocr_lib_spark.partitioning import spread_small
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = corpus.select(
+    # spread: the cosine fold is CPU-dense per row and the broadcast
+    # join keeps the corpus side's partitioning — a small
+    # single-row-group scan would score every (query, neighbor) pair on
+    # one task (no-op at real corpus sizes)
+    c = spread_small(corpus, probe=corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = (

@@ -50,8 +50,13 @@ def _gram_hash_pairs(d):
         f"i -> concat_ws(' ', slice(t, i + 1, {NOVELTY_K}))) "
         f"ELSE cast(array() as array<string>) END"
     )
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the gram build + md5 stage measured 1.15 s on one working
+    # task at local[32] (small single-row-group scan); no-op at scale
     return (
-        d.select("doc_id", toks.alias("t"))
+        spread_small(d)
+        .select("doc_id", toks.alias("t"))
         .select("doc_id", F.explode(grams).alias("g"))
         .select(
             "doc_id",
@@ -234,8 +239,12 @@ def _q_quality_curriculum(spark, sf_dir):
         f"n_distinct * {_PPM} DIV n_tokens ELSE 0 END"
     )
     toks = F.split(F.trim("text"), " ")
+    from ocr_lib_spark.partitioning import spread_small
+
     d = (
-        _docs(spark, sf_dir)
+        # spread: tokenize + array_distinct per row runs single-task on
+        # a small single-row-group scan (no-op at scale)
+        spread_small(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.size(toks).cast("long").alias("n_tokens"),
@@ -431,7 +440,11 @@ def _q_dedup_keep_best(spark, sf_dir):
     from ocr_lib_spark.functions.text import quality_score
     from ocr_lib_spark.plans.textops import _near_dup_clusters
 
-    q = _docs(spark, sf_dir).select(
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: quality_score tokenizes every doc; single-task otherwise
+    # on a small single-row-group scan (no-op at scale)
+    q = spread_small(_docs(spark, sf_dir)).select(
         "doc_id", quality_score("text").cast("long").alias("q")
     )
     m = (
@@ -1367,7 +1380,11 @@ def _q_dsir_select(spark, sf_dir):
     with zeros via the left join from the doc scan and are never
     selected."""
     B, OFF = DSIR_BUCKETS, DSIR_BITS_OFFSET
-    d = _docs(spark, sf_dir)
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the tokenize+explode+md5 hashed-bigram stage is CPU-dense
+    # and would run on a small single-row-group scan's one task
+    d = spread_small(_docs(spark, sf_dir))
     toks = F.explode(F.split(F.trim("text"), " ")).alias("tok")
     tb = (
         d.select(
@@ -1954,8 +1971,12 @@ def _q_bpe_merge_step(spark, sf_dir):
     counts for it. Returns one row per doc: tokens before/after, match
     and merge counts, and the chosen pair as broadcast scalars."""
     toks = F.split(F.trim("text"), " ")
+    from ocr_lib_spark.partitioning import spread_small
+
     d = (
-        _docs(spark, sf_dir)
+        # spread: census explode + greedy count pass run off this
+        # checkpoint; a small single-row-group scan gives it one task
+        spread_small(_docs(spark, sf_dir))
         .select("doc_id", toks.alias("t"))
         .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
         .localCheckpoint(eager=False)  # feeds the census and the count pass
@@ -2088,6 +2109,13 @@ def bpe_merge_loop_frame(t, steps_n: int = BPE_STEPS):
     _q_bpe_merge_loop. Split out so hand-computed corpora (winning
     pair changing between rounds, fused symbols re-entering the
     census, self-pair runs) are unit-testable off-fixture."""
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread once up front: every round's census explode, HOF merge
+    # pass, and rebuild inherit the checkpoint partitioning, and a
+    # small single-row-group scan would otherwise run all of them on
+    # ONE task per round (no-op at real corpus sizes)
+    t = spread_small(t)
     steps = []
     for step in range(1, steps_n + 1):
         t = t.localCheckpoint(eager=False)  # census + stats + rebuild
@@ -2192,8 +2220,12 @@ def _q_bpe_apply_merges(spark, sf_dir):
     broadcasts back as scalars, zero driver collects); the only
     addition is the per-doc carry of the round-0 token count."""
     toks = F.split(F.trim("text"), " ")
+    from ocr_lib_spark.partitioning import spread_small
+
     t = (
-        _docs(spark, sf_dir)
+        # spread: all BPE_STEPS rounds of HOF merge passes inherit this
+        # partitioning (see bpe_merge_loop_frame)
+        spread_small(_docs(spark, sf_dir))
         .select("doc_id", toks.alias("t"))
         .select("doc_id", F.expr("filter(t, x -> x != '')").alias("t"))
         .withColumn("n0", F.size("t").cast("long"))

@@ -131,8 +131,12 @@ FROM documents GROUP BY md5(text)
 # value-hash gate never sees float formatting drift.
 
 def _doc_repetition(spark, sf_dir):
+    from ocr_lib_spark.partitioning import spread_small
+
     toks = F.split(F.trim("text"), " ")
-    base = _docs(spark, sf_dir).select(
+    # spread: tokenize + array_distinct + bigram transform are CPU-dense
+    # per byte; a small single-row-group scan runs them on one task
+    base = spread_small(_docs(spark, sf_dir)).select(
         "doc_id",
         toks.alias("t"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -209,7 +213,12 @@ def _decontaminate(spark, sf_dir):
         f"i -> concat_ws(' ', slice(t, i + 1, {DECON_K}))) "
         f"ELSE cast(array() as array<string>) END"
     )
-    d = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the K-gram construction (concat_ws over sliced token
+    # arrays) is CPU-dense and runs once per branch (holdout broadcast +
+    # probe); a small single-row-group scan would run each on one task
+    d = spread_small(_docs(spark, sf_dir)).select("doc_id", toks.alias("t"))
     d = d.select("doc_id", F.explode(grams_expr).alias("g"))
     holdout = (
         d.where(F.col("doc_id") % DECON_HOLDOUT_MOD == 0).select("g").distinct()
@@ -364,7 +373,13 @@ def _pii_scrub(spark, sf_dir):
     ssn = F.concat_ws(
         "-", F.substring(ssn9, 1, 3), F.substring(ssn9, 4, 2), F.substring(ssn9, 6, 4)
     )
-    d = _docs(spark, sf_dir).withColumn(
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the scrub is one zero-shuffle projection of ~10 regex
+    # passes per row — parallelism equals scan split count, and a small
+    # single-row-group parquet yields ONE working task (measured 733 ms
+    # single-task in the r9 profile; no-op at real corpus sizes)
+    d = spread_small(_docs(spark, sf_dir)).withColumn(
         "card_base",
         F.lpad(
             (((F.col("doc_id") % PII_ID_MOD) * 1099511628211) % 1000000000000000).cast("string"),
@@ -636,7 +651,11 @@ def segment_dedup_frame(docs):
     """(doc_id, text) frame -> per-doc segment-dedup counts; see
     _segment_dedup. Split out so degenerate inputs (null/empty/short
     text) are unit-testable against the DuckDB twin off-fixture."""
-    t = docs.select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: segment slicing + md5 per segment is CPU-dense; a small
+    # single-row-group scan runs it on one task (no-op at scale)
+    t = spread_small(docs).select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
     seg = t.select(
         "doc_id",
         F.posexplode(
@@ -716,9 +735,13 @@ def gopher_bits_frame(docs):
     """(doc_id, text) frame -> rule-bit quality gate; see
     _gopher_quality_bits. Split out for off-fixture degenerate-input
     twin tests."""
+    from ocr_lib_spark.partitioning import spread_small
+
     # null text ≡ '' (the engine's pinned null-text contract) so the
-    # rule bits are total — a null payload must be REJECTED, not null
-    t = docs.select(
+    # rule bits are total — a null payload must be REJECTED, not null.
+    # spread_small: the base/top branches both tokenize, and a small
+    # single-row-group input would run each on one task (no-op at scale)
+    t = spread_small(docs).select(
         "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), " ").alias("t")
     )
     base = t.select(
@@ -1655,7 +1678,14 @@ TRAIN_MIX_MIN_QUALITY = 70
 
 
 def _training_mix(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the anti join's probe side keeps the scan partitioning, so
+    # the lang/quality/hash gates (regex + tokenize per row) and the
+    # packing's bpe_token_count would run on a small single-row-group
+    # scan's ONE task (no-op at real corpus sizes; the pack window
+    # re-shuffles by shard, so the output is partitioning-invariant)
+    docs = spread_small(_docs(spark, sf_dir))
     drop = (
         _near_dup_clusters(spark, sf_dir)
         .where(F.col("doc_id") != F.col("keep_id"))
@@ -1781,6 +1811,14 @@ def pack_tokens(docs, budget: int = PACK_BUDGET, shards: int | None = None):
 
     if shards is None:
         shards = max(16, 4 * docs.rdd.getNumPartitions())
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread AFTER the shards default is derived (so the recorded
+    # n_shards is unchanged for layout-scaled callers): the
+    # bpe_token_count regex projection below runs in the scan stage,
+    # single-task on a small single-row-group parquet (no-op at scale;
+    # the shard window re-shuffles, so output is partitioning-invariant)
+    docs = spread_small(docs)
     d = docs.select(
         "doc_id",
         F.pmod("doc_id", F.lit(shards)).cast("int").alias("shard"),
@@ -1839,8 +1877,12 @@ SAMPLE_RATES = {"vowelic": 1000, "en-like": 500, "cons-lite": 250, "consonantal"
 
 def _stratified_sample(spark, sf_dir):
     from ocr_lib_spark.functions.text import hex_bucket, lang_id
+    from ocr_lib_spark.partitioning import spread_small
 
-    d = _docs(spark, sf_dir).select(
+    # spread: lang_id + md5 bucket per row, zero-shuffle map — its
+    # parallelism equals the scan split count (one working task on a
+    # small single-row-group parquet; no-op at scale)
+    d = spread_small(_docs(spark, sf_dir)).select(
         "doc_id",
         lang_id("text").alias("lang"),
         hex_bucket(F.col("text"), 1000).cast("int").alias("h"),
@@ -1919,9 +1961,15 @@ HOSTILE_WS_SQL = (
 
 
 def _toks_nonempty(spark, sf_dir):
+    from ocr_lib_spark.partitioning import spread_small
+
     hostile = HOSTILE_WS_SQL.format(d="doc_id", t="text")
+    # the tokenize+explode below is CPU-dense per input byte, and the
+    # single-row-group fixture parquet cannot be split by byte ranges —
+    # spread_small round-robins ONLY a small under-split scan so the
+    # explode runs on every core (no-op at real corpus sizes)
     return (
-        _docs(spark, sf_dir)
+        spread_small(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.explode(F.split(F.trim(F.expr(hostile)), r"\s+")).alias("tok"),

@@ -211,7 +211,13 @@ def _assign_centroids_arrow(e, cent_rows):
             T.StructField("centroid_id", T.LongType()),
         ]
     )
-    return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: the n x k scoring kernel is CPU-dense; a small
+    # single-row-group scan feeds it one task (no-op at scale)
+    return spread_small(e.select("vec_id", "v"), probe=e).mapInPandas(
+        run, schema=schema
+    )
 
 
 def _lloyd_partial_stats_arrow(e, cent_rows):
@@ -286,7 +292,13 @@ def _lloyd_partial_stats_arrow(e, cent_rows):
             T.StructField("n", T.LongType()),
         ]
     )
-    return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+    from ocr_lib_spark.partitioning import spread_small
+
+    # spread: same CPU-dense scoring as _assign_centroids_arrow; the
+    # integer partial sums are partitioning-invariant by construction
+    return spread_small(e.select("vec_id", "v"), probe=e).mapInPandas(
+        run, schema=schema
+    )
 
 
 def _codebook_values_df(spark, cent_rows):
