@@ -142,32 +142,28 @@ def _doc_repetition(spark, sf_dir):
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
-    # word bigrams via a codegen transform over the token array — the
-    # explode/groupBy shuffle carries (doc_id, bigram) and partial
-    # counts map-side; no python stage anywhere
+    # word bigrams via a codegen transform over the token array;
+    # top_bigram_n via the sorted-run fold (_TOP_RUN_FOLD, the
+    # gopher_bits_frame precedent) and n_bigrams = size of the bigram
+    # array — both per-row, so the whole query is a ZERO-shuffle
+    # projection (previously: explode + groupBy(doc_id, bg) +
+    # groupBy(doc_id) + join back = 3 exchanges). Values identical:
+    # sum of per-bigram counts IS the array size, max count IS the
+    # longest equal-run of the sorted array.
     bigrams = F.when(
         F.col("n_tokens") >= 2,
         F.expr("transform(sequence(0, cast(size(t) as int) - 2), i -> t[i] || ' ' || t[i+1])"),
     ).otherwise(F.array().cast("array<string>"))
-    per_bigram = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-    )
-    agg = per_bigram.groupBy("doc_id").agg(
-        F.max("c").cast("long").alias("top_bigram_n"),
-        F.sum("c").cast("long").alias("n_bigrams"),
-    )
-    return (
-        base.drop("t")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_distinct",
-            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-        )
+    return base.select(
+        "doc_id", "n_tokens", "n_distinct", bigrams.alias("bg")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.coalesce(F.expr(_TOP_RUN_FOLD.format(arr="bg")), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_n"),
+        F.coalesce(F.size("bg"), F.lit(0)).cast("long").alias("n_bigrams"),
     )
 
 
@@ -724,11 +720,27 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 # outside [min-dots, 2*max-dots] skipped, core_helper.clj:1159-1166).
 # Every rule bit is INTEGER cross-multiplication (5*n_alpha >= 4*n_words
 # instead of ratio > 0.8), so the gate is exactly reproducible across
-# engines with no float thresholds. Top-word frequency is the one
-# shuffled statistic (explode + per-(doc, word) count, map-side
-# combinable — same shape as doc_repetition).
+# engines with no float thresholds. Top-word frequency is computed
+# per row with a sorted-run fold, so the whole gate is a ZERO-shuffle
+# projection — the ideal shape for a pre-filter that guards more
+# expensive stages (guide §1.2: don't shuffle what a map can decide).
 
 GQ_MIN_WORDS, GQ_MAX_WORDS = 50, 100_000
+
+#: max identical-element count of an array, as a Catalyst fold: sort
+#: the array so equal elements form maximal runs, then one left fold
+#: tracks (prev, current run, best run). Equals the value of
+#: explode -> groupBy(id, x) -> count -> max(count) by construction,
+#: with ZERO shuffles and no join — per-row, embarrassingly parallel.
+_TOP_RUN_FOLD = (
+    "aggregate(array_sort({arr}), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L), "
+    "'best', GREATEST(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))), "
+    "acc -> acc.best)"
+)
 
 
 def gopher_bits_frame(docs):
@@ -739,31 +751,24 @@ def gopher_bits_frame(docs):
 
     # null text ≡ '' (the engine's pinned null-text contract) so the
     # rule bits are total — a null payload must be REJECTED, not null.
-    # spread_small: the base/top branches both tokenize, and a small
-    # single-row-group input would run each on one task (no-op at scale)
+    # spread_small: the whole gate is one CPU-dense projection, and a
+    # small single-row-group input would run it on one task (no-op at
+    # scale). top_word_n via the sorted-run fold replaces the previous
+    # explode -> groupBy(doc_id, w) -> groupBy(doc_id) -> join shape:
+    # same value per doc (a sorted array groups equal words into
+    # maximal runs), but 2 exchanges + 1 join fewer — the gate now has
+    # NO shuffle at any scale.
     t = spread_small(docs).select(
         "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), " ").alias("t")
     )
-    base = t.select(
+    j = t.select(
         "doc_id",
         F.size("t").cast("long").alias("n_words"),
         F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").alias("total_chars"),
         F.expr("size(filter(t, x -> x rlike '^[A-Za-z]+$'))").cast("long").alias("n_alpha_words"),
-    )
-    top = (
-        t.select("doc_id", F.explode("t").alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").cast("long").alias("top_word_n"))
-    )
-    j = base.join(top, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "total_chars",
-        "n_alpha_words",
-        F.coalesce("top_word_n", F.lit(0)).cast("long").alias("top_word_n"),
+        F.expr(_TOP_RUN_FOLD.format(arr="filter(t, x -> x != '')"))
+        .cast("long")
+        .alias("top_word_n"),
     )
     return j.select(
         "doc_id",
