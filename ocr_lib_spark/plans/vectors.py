@@ -768,46 +768,68 @@ def _ivf_recall(spark, sf_dir):
             .withColumn("rn", F.row_number().over(wp))
             .where(F.col("rn") <= max(nprobes))
             .select("query_id", "qv", "centroid_id", "rn")
+        )
+        # candidate join + cosine rerank scoring runs ONCE per codebook
+        # at max(nprobe), with the probe rank carried through: a
+        # (query, neighbor) pair reaches the candidate set via exactly
+        # one centroid (assignment is unique), so each pair has one rn
+        # and the nprobe=2 candidate set is exactly the rn<=2 subset —
+        # the smaller variant's scoring pass is a filter, not a second
+        # join (previously: join + cosine per VARIANT, 4 passes).
+        cand_all = (
+            probes_all.join(assign, "centroid_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "rn",
+                F.col("vec_id").alias("neighbor_id"),
+                _cos(F.col("qv"), F.col("v")).alias("cosine"),
+            )
             .localCheckpoint(eager=False)
         )
         for nprobe in nprobes:
-            cand = (
-                probes_all.where(F.col("rn") <= nprobe)
-                .select("query_id", "qv", "centroid_id")
-                .join(assign, "centroid_id")
-                .where(F.col("vec_id") != F.col("query_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    _cos(F.col("qv"), F.col("v")).alias("cosine"),
-                )
-            )
-            got_by_variant[(vname, nprobe)] = _topk_two_phase(cand, IVF_K).select(
-                "query_id", "neighbor_id"
-            )
-    outs = []
+            got_by_variant[(vname, nprobe)] = _topk_two_phase(
+                cand_all.where(F.col("rn") <= nprobe).drop("rn"), IVF_K
+            ).select("query_id", "neighbor_id")
+    # one summary aggregation instead of four (agg + crossJoin + agg)
+    # chains: tag each variant's truth-hit rows with its (variant,
+    # nprobe) literals, union, count by tag, and left-join onto the
+    # 4-row variants literal so a zero-hit variant still yields its row.
+    hits = None
     for variant, trained, nprobe in variants:
-        got = got_by_variant[(variant, nprobe)]
-        hit = truth.join(got, ["query_id", "neighbor_id"], "left_semi")
-        floor_ppm = IVF_RECALL_FLOOR_PPM.get((variant, nprobe), 0)
-        outs.append(
-            truth.agg(F.count("*").alias("n_truth"))
-            .crossJoin(hit.agg(F.count("*").alias("n_hit")))
-            .select(
-                F.lit(variant).alias("variant"),
-                F.lit(nprobe).cast("int").alias("nprobe"),
-                "n_truth",
-                "n_hit",
-                F.expr("n_hit * 1000000 DIV n_truth").alias("recall_ppm"),
-                (F.expr("n_hit * 1000000 DIV n_truth") >= floor_ppm).alias(
-                    "recall_within_bounds"
-                ),
-            )
+        h = truth.join(
+            got_by_variant[(variant, nprobe)],
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).select(
+            F.lit(variant).alias("variant"),
+            F.lit(nprobe).cast("int").alias("nprobe"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        hits = h if hits is None else hits.unionAll(h)
+    hit_counts = hits.groupBy("variant", "nprobe").agg(
+        F.count("*").alias("n_hit_nn")
+    )
+    vdf = spark.createDataFrame(
+        [(v, np, IVF_RECALL_FLOOR_PPM.get((v, np), 0)) for v, _, np in variants],
+        "variant string, nprobe int, floor_ppm bigint",
+    )
+    return (
+        vdf.join(hit_counts, ["variant", "nprobe"], "left")
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .select(
+            "variant",
+            "nprobe",
+            "n_truth",
+            F.coalesce("n_hit_nn", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "coalesce(n_hit_nn, 0L) * 1000000 DIV n_truth"
+            ).alias("recall_ppm"),
+            (
+                F.expr("coalesce(n_hit_nn, 0L) * 1000000 DIV n_truth")
+                >= F.col("floor_ppm")
+            ).alias("recall_within_bounds"),
+        )
+    )
 
 
 def _search_pairs_cte(cent: str, nprobe: int, tag: str) -> str:
