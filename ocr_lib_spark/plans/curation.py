@@ -431,12 +431,13 @@ def _q_dedup_keep_best(spark, sf_dir):
     table × ``quality_score``.
 
     Scale shape: the member table is O(duplicates), not corpus-size;
-    argmax is two groupBy passes on cluster_id (max-quality census,
-    then min-id among the maximal) — deliberately NOT a row_number
-    window partitioned by cluster label (a mega-cluster would
-    materialize in one window task; the groupBy partial-aggregates
-    map-side). The member frame is lazily checkpointed so the cluster
-    closure runs once, not once per consumer branch."""
+    the (max quality, then min doc_id) keep rule is ONE groupBy on
+    cluster_id — max(struct(q, -doc_id)) IS that lexicographic argmax
+    — deliberately NOT a row_number window partitioned by cluster
+    label (a mega-cluster would materialize in one window task; the
+    groupBy partial-aggregates map-side). Previously: a max-quality
+    census groupBy plus a join-back plus a second groupBy (the
+    _bpe_pair_argmax precedent, collapsed the same way)."""
     from ocr_lib_spark.functions.text import quality_score
     from ocr_lib_spark.plans.textops import _near_dup_clusters
 
@@ -451,20 +452,18 @@ def _q_dedup_keep_best(spark, sf_dir):
         _near_dup_clusters(spark, sf_dir)
         .select("doc_id", "cluster_id")
         .join(q, "doc_id")
-        .localCheckpoint(eager=False)
     )
-    best = m.groupBy("cluster_id").agg(
-        F.max("q").alias("best_q"), F.count("*").cast("long").alias("n_members")
+    b = m.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("b"),
+        F.count("*").cast("long").alias("n_members"),
     )
-    return (
-        m.join(best, "cluster_id")
-        .where(F.col("q") == F.col("best_q"))
-        .groupBy("cluster_id")
-        .agg(
-            F.min("doc_id").cast("long").alias("keep_best_id"),
-            F.min("best_q").cast("long").alias("best_q"),
-            F.min("n_members").cast("long").alias("n_members"),
-        )
+    return b.select(
+        "cluster_id",
+        (-F.col("b.nid")).cast("long").alias("keep_best_id"),
+        F.col("b.q").cast("long").alias("best_q"),
+        "n_members",
     )
 
 
@@ -1933,14 +1932,15 @@ BPE_GREEDY_EXPR = (
 def _bpe_pair_argmax(t_df):
     """Corpus-wide most-frequent adjacent pair over a (doc_id, t)
     token-array frame, as a ONE-ROW broadcastable frame (pair_a,
-    pair_b, pair_count). The argmax is two chained scalar aggregates
-    (max count -> lexicographic min(struct(a, b)) among the maximal
-    rows; min-of-struct == min a, then min b within that a — the same
-    pinned tie-break the previous three-aggregate chain produced, one
-    broadcast exchange and one census scan cheaper per merge round) so
-    the global top-1 never sorts the census; an empty census yields one
-    all-NULL row (groupBy-less agg), which downstream match filters
-    treat as zero matches on both engines."""
+    pair_b, pair_count). The argmax is ONE scalar aggregate:
+    min(struct(-count, a, b)) is lexicographically (max count, then
+    min a, then min b) — exactly the pinned tie-break the previous
+    two-aggregate chain (max count -> min(struct(a, b)) among the
+    maximal rows) produced, but with no census checkpoint, no
+    broadcast exchange and no second census pass per merge round.
+    The global top-1 never sorts the census; an empty census yields
+    one all-NULL row (groupBy-less agg), which downstream match
+    filters treat as zero matches on both engines."""
     pairs = t_df.select(
         F.explode(
             F.expr(
@@ -1952,16 +1952,19 @@ def _bpe_pair_argmax(t_df):
         ).alias("p")
     ).select("p.a", "p.b")
     census = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
-    census = census.localCheckpoint(eager=False)  # two argmax consumers
-    cmax = census.agg(F.max("c").alias("c_max"))
     return (
-        census.crossJoin(F.broadcast(cmax))
-        .where(F.col("c") == F.col("c_max"))
-        .agg(F.min(F.struct("a", "b")).alias("ab"), F.max("c").alias("pair_count"))
-        .select(
-            F.col("ab.a").alias("pair_a"),
-            F.col("ab.b").alias("pair_b"),
-            "pair_count",
+        census.agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    F.col("a").alias("a"),
+                    F.col("b").alias("b"),
+                )
+            ).alias("x")
+        ).select(
+            F.col("x.a").alias("pair_a"),
+            F.col("x.b").alias("pair_b"),
+            (-F.col("x.nc")).cast("long").alias("pair_count"),
         )
     )
 
