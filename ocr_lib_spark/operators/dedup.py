@@ -573,34 +573,30 @@ def near_dup_clusters(
         # prop id is an edge destination, hence also a seeded source —
         # so max(prev) recovers it) instead of re-joining labels after
         # the pointer jump: one shuffle join fewer per round, identical
-        # convergence test (post-jump label vs previous round's label).
+        # convergence test.
         tagged = labels.select("id", "lbl", F.col("lbl").alias("prev")).unionByName(
             prop.select("id", "lbl", F.lit(None).cast(lbl_type).alias("prev"))
         )
         merged = tagged.groupBy("id").agg(
             F.min("lbl").alias("lbl"), F.max("prev").alias("prev_lbl")
-        )
-        # pointer jump: adopt the label of your label (labels are ids)
-        lab2 = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new_labels = (
-            merged.join(lab2, "lbl", "left")
-            .select(
-                "id",
-                F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"),
-                "prev_lbl",
-            )
-            # lazy: the convergence count below is the action that
-            # materializes the checkpoint — one job per round, not two
-            .localCheckpoint(eager=False)
-        )
-        # changed-label count: labels only ever decrease, so zero
-        # changed rows == fixpoint; the count is map-side combinable
-        # over the already-materialized checkpoint blocks.
-        # Overflow-free vs a SUM(lbl) probe.
-        changed = new_labels.where(F.col("lbl") != F.col("prev_lbl")).count()
-        labels = new_labels.select("id", "lbl")
+        ).localCheckpoint(eager=False)  # lazy: the count below materializes it
+        # changed-label count BEFORE the pointer jump: labels only ever
+        # decrease, so zero changed rows == propagation fixpoint, and at
+        # the fixpoint every edge has equal endpoint labels (labels are
+        # constant per component), so the jump would be the identity —
+        # the converged (always-run final) round skips its join shuffle
+        # outright. Overflow-free vs a SUM(lbl) probe.
+        changed = merged.where(F.col("lbl") != F.col("prev_lbl")).count()
         if changed == 0:
+            labels = merged.select("id", "lbl")
             break
+        # pointer jump: adopt the label of your label (labels are ids);
+        # lazy — it materializes as part of the NEXT round's count over
+        # the next checkpoint, so lineage stays one join deep per round.
+        lab2 = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        labels = merged.join(lab2, "lbl", "left").select(
+            "id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl")
+        )
     else:
         raise RuntimeError(f"near_dup_clusters did not converge in {max_rounds} rounds")
     # member counts via groupBy + join, NOT a count-over-window: a
