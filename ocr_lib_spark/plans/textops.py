@@ -1700,9 +1700,16 @@ def _training_mix(spark, sf_dir):
     for lang, permille in TRAIN_MIX_RATES.items():
         cond = F.col("lang") == lang
         rate = F.when(cond, permille) if rate is None else rate.when(cond, permille)
+    # gates BEFORE the anti join (guide §2.3, filter before the
+    # exchange): the lang/quality/hash gates are per-row pure functions
+    # and the anti join only removes rows, so the two commute — but
+    # gating first (a) runs the regex-heavy gates on the spread scan
+    # partitioning instead of the AQE-coalesced post-join partitioning
+    # (measured: a 467 ms 3-task gate stage), and (b) shrinks the anti
+    # join's probe side to the gate survivors (the hash downsample is
+    # the most selective stage of the funnel) before any shuffle.
     kept = (
-        docs.join(drop, "doc_id", "left_anti")
-        .withColumn("lang", lang_id("text"))
+        docs.withColumn("lang", lang_id("text"))
         .withColumn("q", quality_score("text"))
         .withColumn("h", hex_bucket(F.col("text"), 1000).cast("int"))
         .where(
@@ -1710,8 +1717,11 @@ def _training_mix(spark, sf_dir):
             & (F.col("h") < rate.otherwise(F.lit(0)))
         )
         .select("doc_id", "text")
+        .join(drop, "doc_id", "left_anti")
     )
-    return pack_tokens(kept, budget=PACK_BUDGET, shards=PACK_SHARDS)
+    return pack_tokens(
+        kept, budget=PACK_BUDGET, shards=PACK_SHARDS, probe=docs
+    )
 
 
 def _training_mix_oracle() -> str:
@@ -1799,7 +1809,9 @@ PACK_SHARDS = 16  # pinned shard count for the driver-gated query (the
 # the input layout — see pack_tokens
 
 
-def pack_tokens(docs, budget: int = PACK_BUDGET, shards: int | None = None):
+def pack_tokens(
+    docs, budget: int = PACK_BUDGET, shards: int | None = None, probe=None
+):
     """Concat-and-chunk context-window packing over (doc_id, text).
 
     ``shards`` bounds the packing window's parallelism (the window sort
@@ -1822,8 +1834,10 @@ def pack_tokens(docs, budget: int = PACK_BUDGET, shards: int | None = None):
     # n_shards is unchanged for layout-scaled callers): the
     # bpe_token_count regex projection below runs in the scan stage,
     # single-task on a small single-row-group parquet (no-op at scale;
-    # the shard window re-shuffles, so output is partitioning-invariant)
-    docs = spread_small(docs)
+    # the shard window re-shuffles, so output is partitioning-invariant).
+    # ``probe``: callers whose input is a join output (multiplicative
+    # size estimates) pass a base frame with an honest estimate.
+    docs = spread_small(docs, probe=probe)
     d = docs.select(
         "doc_id",
         F.pmod("doc_id", F.lit(shards)).cast("int").alias("shard"),
