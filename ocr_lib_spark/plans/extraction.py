@@ -842,11 +842,16 @@ def _q_conv_training_mix(spark, sf_dir):
         gopher_bits_frame,
     )
 
+    from ocr_lib_spark.partitioning import spread_small
+
     tr = transcripts_from_documents(spark, sf_dir)
     conv = (
-        _assemble_small(extract_turns(tr))
-        .select("conv_id", "conv_text")
-        .localCheckpoint(eager=False)
+        # spread BEFORE the checkpoint (the conv_decontaminate
+        # precedent): the quality gate, simhash banding and packing
+        # branches all inherit the checkpoint's partitioning
+        spread_small(
+            _assemble_small(extract_turns(tr)).select("conv_id", "conv_text")
+        ).localCheckpoint(eager=False)
     )
     quality_keep = (
         gopher_bits_frame(
@@ -1286,10 +1291,21 @@ def _q_conv_decontaminate(spark, sf_dir):
     known-small layout) -> gram overlap, all earned from payloads."""
     from ocr_lib_spark.plans.textops import DECON_HOLDOUT_MOD, DECON_K
 
+    from ocr_lib_spark.partitioning import spread_small
+
     tr = transcripts_from_documents(spark, sf_dir)
     conv = (
-        _assemble_small(extract_turns(tr))
-        .select("conv_id", F.expr("replace(conv_text, chr(10), ' ')").alias("text"))
+        # spread BEFORE the checkpoint: the assembly groupBy's
+        # AQE-coalesced output is ~1 partition at small scale, and
+        # every consumer branch (gram explode here) inherits the
+        # checkpoint's partitioning — spreading first parallelizes all
+        # of them with ZERO extra exchanges (no-op at scale; measured
+        # 348 ms single-task gram stage in the r9 profile)
+        spread_small(
+            _assemble_small(extract_turns(tr)).select(
+                "conv_id", F.expr("replace(conv_text, chr(10), ' ')").alias("text")
+            )
+        )
         # the holdout branch and the probe branch both derive from this
         # frame; without a checkpoint the extract+assemble kernel runs
         # once PER BRANCH (the broadcast subtree gets no exchange reuse)
