@@ -393,11 +393,19 @@ def embedding_near_dup(
 
     ``round_decimals`` rounds the cosine BEFORE thresholding (and in the
     output) so cross-engine summation-order ulps can't flip membership
-    of pairs sitting exactly on the threshold."""
+    of pairs sitting exactly on the threshold.
+
+    The norm is a per-ROW quantity, so it is computed once below the
+    self-join (same left-fold expression on the same cast array —
+    bit-identical to folding it per pair) and the per-pair verify pays
+    one array fold (the dot), not three; the verify stage is quadratic
+    in bucket occupancy, so per-pair cost is the scale lever."""
+    vexp = F.col(vec_col).cast("array<double>")
     withb = df.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        vexp.alias("v"),
         _sign_bucket(F.col(vec_col), n_lsh_bits).alias("bucket"),
+        F.sqrt(F.aggregate(vexp, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
     a, b = withb.alias("a"), withb.alias("b")
     dot = F.aggregate(
@@ -405,9 +413,7 @@ def embedding_near_dup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    cosine = dot / (na * nb)
+    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
     if round_decimals is not None:
         cosine = F.round(cosine, round_decimals)
     return (

@@ -1285,7 +1285,13 @@ def _q_semantic_decontaminate(spark, sf_dir):
     bucket = F.lit(0)
     for i in range(SEMDECON_BITS):
         bucket = bucket + F.when(F.element_at("v", i + 1) > 0, F.lit(2**i)).otherwise(0)
-    e = e.withColumn("bucket", bucket.cast("int"))
+    # per-ROW norm below the join (same left-fold expression on the
+    # same cast array as folding it per pair — bit-identical; the
+    # per-candidate verify then pays one fold, the dot, not three)
+    e = e.withColumn("bucket", bucket.cast("int")).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
     holdout = e.where(F.col("vec_id") % SEMDECON_MOD == 0)
     corpus = e.where(F.col("vec_id") % SEMDECON_MOD != 0)
     a, h = corpus.alias("a"), holdout.alias("h")
@@ -1294,9 +1300,7 @@ def _q_semantic_decontaminate(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nh = F.sqrt(F.aggregate(F.col("h.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    cosine = F.round(dot / (na * nh), 6)
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("h.nrm")), 6)
     return (
         a.join(F.broadcast(h), F.col("a.bucket") == F.col("h.bucket"))
         .select(F.col("a.vec_id").alias("vec_id"), cosine.alias("c"))
